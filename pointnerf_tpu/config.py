@@ -1,0 +1,279 @@
+"""Typed configuration for the TPU-native Point-NeRF framework.
+
+Replaces the reference's argparse + bash-script flag system
+(reference: options/base_options.py:8-332, options/train_options.py:4-123,
+dev_scripts/w_n360/lego.sh) with frozen dataclasses. Defaults reproduce the
+canonical NeRF-Synthetic lego per-scene configuration
+(reference: dev_scripts/w_n360/lego.sh:12-160).
+
+Everything here is static at trace time: configs are hashable pytree-free
+objects so they can be closed over by jitted functions without retracing.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+
+def _t3(x) -> Tuple[float, float, float]:
+    a, b, c = x
+    return (float(a), float(b), float(c))
+
+
+@dataclass(frozen=True)
+class QueryConfig:
+    """Voxel-grid neighbor query hyperparameters.
+
+    Mirrors the flags consumed by the reference CUDA querier
+    (reference: models/neural_points/query_point_indices_worldcoords.py:48-99,
+    dev_scripts/w_n360/lego.sh:51-66).
+    """
+    vsize: Tuple[float, float, float] = (0.004, 0.004, 0.004)
+    vscale: Tuple[float, float, float] = (2.0, 2.0, 2.0)
+    kernel_size: Tuple[int, int, int] = (3, 3, 3)   # KNN shell search extent
+    query_size: Tuple[int, int, int] = (3, 3, 3)    # occupancy dilation extent
+    radius_limit_scale: float = 4.0
+    depth_limit_scale: float = 0.0
+    max_o: int = 830000          # max occupied voxels
+    P: int = 9                   # max points stored per voxel
+    K: int = 8                   # neighbors per shading point
+    SR: int = 80                 # shading points per ray
+    z_depth_dim: int = 400       # ray samples (D)
+    NN: int = 2                  # >0: KNN; 0: first-K (reference query_rand)
+    # Scene AABB (xmin,ymin,zmin,xmax,ymax,zmax). Must be concrete per scene so
+    # grid shapes are static. reference: lego.sh:59
+    ranges: Tuple[float, float, float, float, float, float] = (
+        -0.638, -1.141, -0.346, 0.634, 1.149, 1.141)
+    inverse: int = 0             # 1: disparity-linear ray sampling
+    # emulate the reference CUDA layered shell search exactly (stop scanning
+    # outer voxel shells once K in-radius candidates have been seen in
+    # completed inner shells, reference worldcoords kernel :482-527).
+    shell_layered: bool = True
+    # chunk size (shading points) for the XLA KNN to bound gather memory
+    knn_chunk: int = 65536
+
+    @property
+    def scaled_vsize(self) -> Tuple[float, float, float]:
+        return tuple(v * s for v, s in zip(self.vsize, self.vscale))
+
+    @property
+    def radius_limit(self) -> float:
+        return self.radius_limit_scale * max(self.vsize[0], self.vsize[1])
+
+    def grid_bounds(self):
+        """Static grid bounds: AABB padded by kernel_size/2 scaled voxels.
+
+        reference: query_point_indices_worldcoords.py:58-75 (ranges are
+        intersected with the point-cloud AABB at runtime there; we keep the
+        configured AABB so that shapes stay static — conservative superset).
+        """
+        svs = self.scaled_vsize
+        lo = tuple(self.ranges[i] - svs[i] * self.kernel_size[i] / 2 for i in range(3))
+        hi = tuple(self.ranges[3 + i] + svs[i] * self.kernel_size[i] / 2 for i in range(3))
+        vdim = tuple(int(-(-((hi[i] - lo[i]) / self.vsize[i]) // self.vscale[i])) for i in range(3))
+        return lo, hi, vdim
+
+
+@dataclass(frozen=True)
+class AggregatorConfig:
+    """Point aggregation + shading MLP config.
+
+    reference: models/aggregators/point_aggregators.py:14-217 flag registry;
+    defaults follow dev_scripts/w_n360/lego.sh:42-105.
+    """
+    agg_distance_kernel: str = "linear"     # linear|quadric|avg|numlinear|numquadric|trilinear
+    agg_dist_pers: int = 20                 # dists mode (reference :750-798)
+    agg_intrp_order: int = 2                # decode-then-interp with per-point alpha
+    agg_axis_weight: Tuple[float, float, float] = (1.0, 1.0, 1.0)
+    agg_weight_norm: int = 1
+    apply_pnt_mask: int = 1
+    point_features_dim: int = 32
+    point_color_mode: int = 1               # color fed to block3
+    point_dir_mode: int = 1                 # dir fed to block3
+    point_conf_mode: int = 1                # conf multiplies weights
+    shading_feature_mlp_layer1: int = 2
+    shading_feature_mlp_layer2: int = 0
+    shading_feature_mlp_layer3: int = 2
+    shading_feature_num: int = 256
+    shading_alpha_mlp_layer: int = 1
+    shading_color_mlp_layer: int = 4
+    shading_color_channel_num: int = 3      # 3 = canonical RGB (reference _ori.py); 128 = fork feature render
+    num_pos_freqs: int = 10
+    num_viewdir_freqs: int = 4
+    num_feat_freqs: int = 3
+    dist_xyz_freq: int = 5
+    dist_xyz_deno: float = 0.0
+    act_type: str = "LeakyReLU"             # reference lego.sh:65
+    act_super: int = 1                      # softplus(x-1) density / widened sigmoid color
+    agg_feat_xyz_mode: str = "None"
+    agg_alpha_xyz_mode: str = "None"
+    agg_color_xyz_mode: str = "None"
+    sh_degree: int = 4
+    weight_feat_dim: int = 8
+    weight_xyz_freq: int = 2
+
+    @property
+    def dist_dim(self) -> int:
+        # reference: point_aggregators.py:243
+        if self.agg_dist_pers > 9:
+            return 4 if self.agg_dist_pers == 30 else 6
+        return 3
+
+
+@dataclass(frozen=True)
+class RenderConfig:
+    """Ray-march / render-function config (reference: diff_render_func.py:8-33,
+    base_rendering_model.py:415-448, lego.sh:95-105)."""
+    which_ray_generation: str = "near_far_linear"
+    which_render_func: str = "radiance"
+    which_blend_func: str = "alpha"
+    which_tonemap_func: str = "off"
+    raydist_mode_unit: int = 1
+    near_plane: float = 2.0
+    far_plane: float = 6.0
+    bg_color: Tuple[float, float, float] = (1.0, 1.0, 1.0)
+    train_jitter: float = 0.3    # ray-sample jitter fraction during training
+                                 # reference: query_point_indices_worldcoords.py:91-94
+
+
+@dataclass(frozen=True)
+class PointsConfig:
+    """Neural point cloud attribute/grad config
+    (reference: models/neural_points/neural_points.py:16-230, lego.sh:12-16)."""
+    feature_init_method: str = "rand"
+    xyz_grad: bool = False
+    feat_grad: bool = True
+    conf_grad: bool = True
+    color_grad: bool = True
+    dir_grad: bool = True
+    default_conf: float = 0.15
+    vox_res: int = 320           # initial voxel-downsample resolution
+
+
+@dataclass(frozen=True)
+class LossConfig:
+    """Loss registry config (reference: base_rendering_model.py:29-130,533-664,
+    lego.sh:146-154)."""
+    color_loss_items: Tuple[str, ...] = (
+        "ray_masked_coarse_raycolor", "ray_miss_coarse_raycolor", "coarse_raycolor")
+    color_loss_weights: Tuple[float, ...] = (1.0, 0.0, 0.0)
+    zero_one_loss_items: Tuple[str, ...] = ("conf_coefficient",)
+    zero_one_loss_weights: Tuple[float, ...] = (0.0001,)
+    sparse_loss_weight: float = 0.0
+    zero_epsilon: float = 1e-3
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Optimization schedule (reference: lego.sh:110-143,
+    options/train_options.py)."""
+    lr: float = 5e-4
+    plr: float = 2e-3            # point-attribute lr (reference --plr)
+    lr_policy: str = "iter_exponential_decay"
+    lr_decay_iters: int = 1000000
+    lr_decay_exp: float = 0.1
+    batch_size: int = 1
+    random_sample: str = "random"
+    random_sample_size: int = 60          # rays/iter = size^2
+    maximum_step: int = 200000
+    alter_step: int = 0
+    prune_iter: int = 10001
+    prune_max_iter: int = 130000
+    prune_thresh: float = 0.1
+    prob_freq: int = 10001
+    prob_num_step: int = 20
+    prob_thresh: float = 0.7
+    prob_mul: float = 0.4
+    save_iter_freq: int = 10000
+    test_freq: int = 10000
+    print_freq: int = 40
+    seed: int = 0
+
+
+@dataclass(frozen=True)
+class ParallelConfig:
+    """Device-mesh layout. Replaces DataParallel/DDP-NCCL
+    (reference: neural_points_volumetric_model.py:173-176, train_ddp.py:632-669)
+    with jax.sharding over a Mesh: rays are data-parallel over `dp`, the point
+    cloud can be sharded over `mp` with halo all-gathers."""
+    dp: int = 1                  # ray/data parallel axis size
+    mp: int = 1                  # point-shard axis size
+    remat: bool = False          # jax.checkpoint the aggregator MLP
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Dataset selection + ray sampling (reference: data/__init__.py:9-87,
+    data/nerf_synth360_ft_dataset.py)."""
+    dataset_name: str = "nerf_synth360_ft"
+    data_root: str = ""
+    scan: str = "lego"
+    img_wh: Tuple[int, int] = (800, 800)
+    dir_norm: int = 0
+    split: str = "train"
+
+
+@dataclass(frozen=True)
+class PointNeRFConfig:
+    query: QueryConfig = field(default_factory=QueryConfig)
+    agg: AggregatorConfig = field(default_factory=AggregatorConfig)
+    render: RenderConfig = field(default_factory=RenderConfig)
+    points: PointsConfig = field(default_factory=PointsConfig)
+    loss: LossConfig = field(default_factory=LossConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    parallel: ParallelConfig = field(default_factory=ParallelConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+
+    def replace(self, **kw) -> "PointNeRFConfig":
+        return dataclasses.replace(self, **kw)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, default=list)
+
+    @staticmethod
+    def from_json(s: str) -> "PointNeRFConfig":
+        d = json.loads(s)
+
+        def build(cls, dd):
+            kw = {}
+            for f in dataclasses.fields(cls):
+                if f.name not in dd:
+                    continue
+                v = dd[f.name]
+                if dataclasses.is_dataclass(f.type) if isinstance(f.type, type) else False:
+                    v = build(f.type, v)
+                elif isinstance(v, list):
+                    v = tuple(v)
+                kw[f.name] = v
+            return cls(**kw)
+
+        sub = {
+            "query": QueryConfig, "agg": AggregatorConfig, "render": RenderConfig,
+            "points": PointsConfig, "loss": LossConfig, "train": TrainConfig,
+            "parallel": ParallelConfig, "data": DataConfig,
+        }
+        kw = {k: build(c, d[k]) for k, c in sub.items() if k in d}
+        return PointNeRFConfig(**kw)
+
+
+def lego_config() -> PointNeRFConfig:
+    """The canonical lego per-scene config (dev_scripts/w_n360/lego.sh)."""
+    return PointNeRFConfig()
+
+
+def tiny_test_config() -> PointNeRFConfig:
+    """A CPU-runnable tiny config for unit/golden tests
+    (BASELINE.json:7 — lego 400x400, K=8)."""
+    return PointNeRFConfig(
+        query=QueryConfig(
+            vsize=(0.08, 0.08, 0.08), vscale=(2.0, 2.0, 2.0),
+            max_o=4096, P=6, K=4, SR=16, z_depth_dim=64,
+            ranges=(-1.0, -1.0, -1.0, 1.0, 1.0, 1.0), knn_chunk=4096),
+        agg=AggregatorConfig(
+            point_features_dim=8, shading_feature_num=32,
+            num_feat_freqs=2, dist_xyz_freq=3,
+            num_pos_freqs=4, num_viewdir_freqs=2),
+        train=TrainConfig(random_sample_size=8),
+    )

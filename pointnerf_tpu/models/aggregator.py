@@ -1,0 +1,367 @@
+"""Point aggregation + shading MLP — functional JAX re-implementation of
+`PointAggregator` (models/aggregators/point_aggregators.py:12-817).
+
+Design translation: the reference compacts valid (ray, sample, neighbor)
+triples with boolean indexing (`pnt_mask_flat`, viewmlp :522-534) — a dynamic
+shape. Here the decode runs dense over [R*SR*K, C] with masked inputs/outputs:
+XLA keeps everything in large static matmuls that tile onto the MXU, and the
+masked lanes cost FLOPs but no memory traffic beyond the activations. The
+whole aggregate->march pipeline lives under one jit so XLA fuses PE, masking
+and the elementwise tail into the matmuls.
+
+Supported options mirror the reference registry:
+ - distance kernels: linear / quadric / numlinear / numquadric / avg /
+   trilinear / sh_intrp (point_aggregators.py:355-485)
+ - dists modes agg_dist_pers in {-1, 0, 1, 2, 10, 20, 30} (:750-798)
+ - agg_intrp_order in {0, 1, 2} (:514-646)
+"""
+from __future__ import annotations
+
+import math
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import AggregatorConfig
+from ..ops.pe import pe_dim, positional_encoding
+from .points import SampledPoints
+
+
+# --------------------------------------------------------------------------
+# Parameter init (matches init_seq / xavier_uniform_, helpers/networks.py:120-172)
+# --------------------------------------------------------------------------
+
+def _gain(act_type: str) -> float:
+    if act_type == "LeakyReLU":
+        slope = 0.01
+        return math.sqrt(2.0 / (1.0 + slope ** 2))
+    if act_type == "ReLU":
+        return math.sqrt(2.0)
+    return 1.0
+
+
+def _xavier_uniform(key, n_in: int, n_out: int, gain: float):
+    std = gain * math.sqrt(2.0 / (n_in + n_out))
+    bound = std * math.sqrt(3.0)
+    return jax.random.uniform(key, (n_in, n_out), jnp.float32, -bound, bound)
+
+
+def _dense_init(key, n_in: int, n_out: int, gain: float):
+    return {"w": _xavier_uniform(key, n_in, n_out, gain),
+            "b": jnp.zeros((n_out,), jnp.float32)}
+
+
+def _dense(p, x):
+    return x @ p["w"].astype(x.dtype) + p["b"].astype(x.dtype)
+
+
+def _act(cfg: AggregatorConfig, x):
+    if cfg.act_type == "LeakyReLU":
+        return jax.nn.leaky_relu(x, 0.01)
+    if cfg.act_type == "ReLU":
+        return jax.nn.relu(x)
+    raise ValueError(f"unsupported act_type {cfg.act_type}")
+
+
+def _mlp_init(key, dims, gain, final_gain=None):
+    keys = jax.random.split(key, len(dims) - 1)
+    layers = []
+    for i in range(len(dims) - 1):
+        g = gain if (final_gain is None or i < len(dims) - 2) else final_gain
+        layers.append(_dense_init(keys[i], dims[i], dims[i + 1], g))
+    return layers
+
+
+def block_dims(cfg: AggregatorConfig) -> Dict[str, int]:
+    """Static channel bookkeeping (viewmlp_init, point_aggregators.py:276-345)."""
+    dist_dim = cfg.dist_dim
+    dist_xyz_dim = dist_dim if cfg.dist_xyz_freq == 0 else 2 * abs(cfg.dist_xyz_freq) * dist_dim
+    pnt_ch = pe_dim(3, cfg.num_pos_freqs) if cfg.num_pos_freqs > 0 else 3
+    viewdir_ch = 2 * cfg.num_viewdir_freqs * 3 if cfg.num_viewdir_freqs > 0 else 3
+
+    in_ch = cfg.point_features_dim
+    if cfg.agg_distance_kernel == "sh_intrp":
+        in_ch -= cfg.sh_degree ** 2
+    if cfg.agg_distance_kernel == "feat_intrp":
+        in_ch -= cfg.weight_feat_dim
+    if cfg.agg_feat_xyz_mode != "None":
+        in_ch += pnt_ch
+    in_ch += (2 * cfg.num_feat_freqs * in_ch if cfg.num_feat_freqs > 0 else 0)
+    in_ch += dist_xyz_dim if cfg.agg_intrp_order > 0 else 0
+
+    b1_out = cfg.shading_feature_num if cfg.shading_feature_mlp_layer1 > 0 else in_ch
+    b2_in = b1_out
+    if cfg.shading_feature_mlp_layer2 > 0:
+        b2_in += (pnt_ch if cfg.agg_feat_xyz_mode != "None" else 0)
+        b2_in += (dist_xyz_dim if (cfg.agg_intrp_order > 0 and cfg.num_feat_freqs == 0) else 0)
+        b2_out = cfg.shading_feature_num
+    else:
+        b2_out = b1_out
+    b3_in = b2_out
+    if cfg.shading_feature_mlp_layer3 > 0:
+        b3_in += (3 if cfg.point_color_mode else 0) + (4 if cfg.point_dir_mode else 0)
+        b3_out = cfg.shading_feature_num
+    else:
+        b3_out = b2_out
+
+    alpha_in = b3_out + (pnt_ch if cfg.agg_alpha_xyz_mode != "None" else 0)
+    color_in = b3_out + viewdir_ch + (pnt_ch if cfg.agg_color_xyz_mode != "None" else 0)
+    return dict(in_ch=in_ch, dist_xyz_dim=dist_xyz_dim, pnt_ch=pnt_ch,
+                viewdir_ch=viewdir_ch, b1_out=b1_out, b2_in=b2_in, b2_out=b2_out,
+                b3_in=b3_in, b3_out=b3_out, alpha_in=alpha_in, color_in=color_in)
+
+
+def init_aggregator_params(key, cfg: AggregatorConfig) -> Dict:
+    d = block_dims(cfg)
+    g = _gain(cfg.act_type)
+    k1, k2, k3, ka, kc = jax.random.split(key, 5)
+    params: Dict = {}
+    if cfg.shading_feature_mlp_layer1 > 0:
+        dims = [d["in_ch"]] + [cfg.shading_feature_num] * cfg.shading_feature_mlp_layer1
+        params["block1"] = _mlp_init(k1, dims, g, final_gain=g)
+    if cfg.shading_feature_mlp_layer2 > 0:
+        dims = [d["b2_in"]] + [cfg.shading_feature_num] * cfg.shading_feature_mlp_layer2
+        params["block2"] = _mlp_init(k2, dims, g, final_gain=g)
+    if cfg.shading_feature_mlp_layer3 > 0:
+        dims = [d["b3_in"]] + [cfg.shading_feature_num] * cfg.shading_feature_mlp_layer3
+        params["block3"] = _mlp_init(k3, dims, g, final_gain=g)
+    # alpha branch: (L-1) hidden + Linear(->1) (viewmlp_init :324-333)
+    half = cfg.shading_feature_num // 2
+    a_dims = [d["alpha_in"]] + [half] * (cfg.shading_alpha_mlp_layer - 1) + [1]
+    params["alpha"] = _mlp_init(ka, a_dims, g, final_gain=1.0)
+    # color branch: (L-1) hidden + final Linear(->C) with widened sigmoid.
+    # Canonical upstream semantics (SURVEY.md §2.4): the fork removed the final
+    # projection (point_aggregators.py:343) to emit 128-d features; we keep it
+    # unless shading_color_channel_num equals shading_feature_num//2.
+    c_hidden = [d["color_in"]] + [half] * (cfg.shading_color_mlp_layer - 1)
+    params["color"] = _mlp_init(kc, c_hidden + [cfg.shading_color_channel_num],
+                                g, final_gain=1.0)
+    return params
+
+
+# --------------------------------------------------------------------------
+# Distance kernels (point_aggregators.py:355-485)
+# --------------------------------------------------------------------------
+
+def _dist_weight(cfg: AggregatorConfig, dists, pnt_mask, vsize):
+    axis_w = cfg.agg_axis_weight
+    uniform_axis = axis_w is None or (axis_w[0] == 1 and axis_w[1] == 1 and axis_w[2] == 1)
+    name = cfg.agg_distance_kernel
+    if name == "linear":
+        if uniform_axis:
+            w = 1.0 / jnp.clip(jnp.linalg.norm(dists[..., :3], axis=-1), min=1e-6)
+        else:
+            w = 1.0 / jnp.clip(
+                jnp.sqrt(jnp.sum(jnp.square(dists[..., :2]), -1)) * axis_w[0]
+                + jnp.abs(dists[..., 2]) * axis_w[1], min=1e-6)
+        return pnt_mask * w, False
+    if name == "numlinear":
+        w = 1.0 / jnp.clip(jnp.linalg.norm(dists, axis=-1), min=1e-6)
+        w = pnt_mask * w
+        w = w / jnp.clip(jnp.sum(pnt_mask, -1, keepdims=True), min=1)
+        return w, True
+    if name == "quadric":
+        if uniform_axis:
+            w = 1.0 / jnp.clip(jnp.sum(jnp.square(dists[..., :3]), -1), min=1e-8)
+        else:
+            aw = jnp.asarray(axis_w, dists.dtype)
+            w = 1.0 / jnp.clip(jnp.sum(jnp.square(dists) * aw, -1), min=1e-8)
+        return pnt_mask * w, False
+    if name == "numquadric":
+        w = 1.0 / jnp.clip(jnp.sum(jnp.square(dists), -1), min=1e-8)
+        w = pnt_mask * w
+        w = w / jnp.clip(jnp.sum(pnt_mask, -1, keepdims=True), min=1)
+        return w, True
+    if name == "avg":
+        return pnt_mask * 1.0, False
+    if name == "trilinear":
+        gv = vsize[0]  # grid_vox_sz analog
+        d = dists * pnt_mask[..., None] / gv
+        d = 1.0 - jnp.abs(d)
+        w = pnt_mask * d[..., 0] * d[..., 1] * d[..., 2]
+        w = w / jnp.clip(jnp.sum(w, -1, keepdims=True), min=1e-8)
+        return w, True
+    raise ValueError(f"unknown agg_distance_kernel {name}")
+
+
+def compute_dists(cfg: AggregatorConfig, sp: SampledPoints, sample_loc,
+                  sample_loc_w, sample_ray_dirs):
+    """agg_dist_pers dispatch (point_aggregators.py:750-798)."""
+    mode = cfg.agg_dist_pers
+    if mode < 0:
+        return jnp.broadcast_to(sample_loc_w[..., None, :], sp.xyz.shape)
+    if mode == 0:
+        return sp.xyz - sample_loc_w[..., None, :]
+    if mode == 1:
+        return sp.xyz_pers - sample_loc[..., None, :]
+    if mode in (2, 20):
+        xdist = (sp.xyz_pers[..., 0] * sp.xyz_pers[..., 2]
+                 - sample_loc[..., None, 0] * sample_loc[..., None, 2])
+        ydist = (sp.xyz_pers[..., 1] * sp.xyz_pers[..., 2]
+                 - sample_loc[..., None, 1] * sample_loc[..., None, 2])
+        zdist = sp.xyz_pers[..., 2] - sample_loc[..., None, 2]
+        pers = jnp.stack([xdist, ydist, zdist], axis=-1)
+        if mode == 2:
+            return pers
+        return jnp.concatenate([sp.xyz - sample_loc_w[..., None, :], pers], axis=-1)
+    if mode == 10:
+        pers = sp.xyz_pers - sample_loc[..., None, :]
+        return jnp.concatenate([sp.xyz - sample_loc_w[..., None, :], pers], axis=-1)
+    if mode == 30:
+        w_dists = sp.xyz - sample_loc_w[..., None, :]
+        proj = jnp.sum(w_dists * sample_ray_dirs[..., None, :], -1, keepdims=True)
+        return jnp.concatenate([proj, w_dists], axis=-1)
+    raise ValueError(f"illegal agg_dist_pers {mode}")
+
+
+def _gradient_clamp(conf, lo=0.0001, hi=1.0):
+    """Straight-through clamp (gradiant_clamp, point_aggregators.py:724-726)."""
+    clamped = jnp.clip(conf, lo, hi)
+    return conf - jax.lax.stop_gradient(conf - clamped)
+
+
+class AggOutput(NamedTuple):
+    features: jnp.ndarray        # [R, SR, C+1] — sigma ++ color/feature channels
+    ray_valid: jnp.ndarray       # [R, SR] bool
+    weight: jnp.ndarray          # [R, SR, K] normalized dist weights
+    conf_coefficient: jnp.ndarray  # [R, SR, K]
+
+
+def aggregate(params: Dict, cfg: AggregatorConfig, sp: SampledPoints,
+              sample_loc, sample_loc_w, sample_ray_dirs, vsize,
+              Rw2c: Optional[jnp.ndarray] = None,
+              compute_dtype=jnp.float32) -> AggOutput:
+    """Decode per-shading-point density + radiance from K neighbor payloads.
+
+    Shapes: sp.* [R,SR,K,*]; sample_loc/_w [R,SR,3]; sample_ray_dirs [R,SR,3].
+    Equivalent to PointAggregator.forward (:729-816) + viewmlp (:488-646) with
+    masked dense compute instead of boolean compaction.
+    """
+    R, SR, K = sp.mask.shape
+    mask = sp.mask
+    maskf = mask.astype(compute_dtype)
+    ray_valid = jnp.any(mask, axis=-1)                   # [R, SR]
+
+    dists = compute_dists(cfg, sp, sample_loc, sample_loc_w, sample_ray_dirs)
+    dists = jnp.where(mask[..., None], dists, 0.0)
+
+    weight, pre_normed = _dist_weight(cfg, dists, maskf, vsize)
+    if cfg.agg_weight_norm > 0 and not pre_normed:
+        weight = weight / jnp.clip(jnp.sum(weight, -1, keepdims=True), min=1e-8)
+
+    conf_coeff = _gradient_clamp(sp.conf[..., 0]) if cfg.point_conf_mode else jnp.ones_like(weight)
+    w = (weight * conf_coeff)[..., None].astype(compute_dtype)  # [R,SR,K,1]
+
+    # viewdirs: [R,SR,3] -> rotated, PE'd with ori split (viewmlp :506-512)
+    viewdirs = sample_ray_dirs
+    if Rw2c is not None:
+        viewdirs = viewdirs @ Rw2c.T  # viewdirs @ sampled_Rw2c (= Rw2c^T, ref :492,506)
+    if cfg.num_viewdir_freqs > 0:
+        vpe = positional_encoding(viewdirs, cfg.num_viewdir_freqs, ori=True)
+        ori_viewdirs, viewdirs_pe = vpe[..., :3], vpe[..., 3:]
+    else:
+        ori_viewdirs, viewdirs_pe = viewdirs, viewdirs
+
+    # ---- per-point feature assembly ------------------------------------
+    dists_flat = dists
+    if cfg.dist_xyz_deno != 0.0:
+        dists_flat = dists_flat / (cfg.dist_xyz_deno * float(jnp.linalg.norm(jnp.asarray(vsize))))
+    if Rw2c is not None and cfg.dist_dim >= 3:
+        rot = Rw2c.T  # sampled_Rw2c = Rw2c.transpose(-1,-2), ref :492,526
+        dists_flat = jnp.concatenate(
+            [dists_flat[..., :3] @ rot, dists_flat[..., 3:]], axis=-1)
+    if cfg.dist_xyz_freq != 0:
+        dists_enc = positional_encoding(dists_flat, abs(cfg.dist_xyz_freq))
+    else:
+        dists_enc = dists_flat
+
+    feat = sp.features
+    if cfg.agg_distance_kernel == "sh_intrp":
+        feat = feat[..., cfg.sh_degree ** 2:]
+    feat = jnp.where(mask[..., None], feat, 0.0)
+    if cfg.num_feat_freqs > 0:
+        feat = jnp.concatenate([feat, positional_encoding(feat, cfg.num_feat_freqs)], -1)
+
+    if cfg.agg_intrp_order == 0:
+        # interpolate first, then decode per shading point
+        fagg = jnp.sum(sp.features * w, axis=-2)          # [R,SR,F]
+        if cfg.num_feat_freqs > 0:
+            fagg = jnp.concatenate([fagg, positional_encoding(fagg, cfg.num_feat_freqs)], -1)
+        x = fagg.astype(compute_dtype)
+    else:
+        x = jnp.concatenate([feat, dists_enc], axis=-1).astype(compute_dtype)
+
+    def run_block(name, x):
+        for layer in params[name]:
+            x = _act(cfg, _dense(layer, x))
+        return x
+
+    if "block1" in params:
+        x = run_block("block1", x)
+    if "block2" in params:
+        if cfg.agg_intrp_order > 0 and cfg.num_feat_freqs == 0:
+            x = jnp.concatenate([x, dists_enc.astype(compute_dtype)], -1)
+        x = run_block("block2", x)
+    if "block3" in params:
+        extras = [x]
+        if cfg.point_color_mode:
+            extras.append(jnp.where(mask[..., None], sp.color, 0.0).astype(compute_dtype))
+        if cfg.point_dir_mode:
+            sdir = jnp.where(mask[..., None], sp.dirs, 0.0)
+            if Rw2c is not None:
+                sdir = sdir @ Rw2c.T  # sampled_dir @ sampled_Rw2c (ref :566)
+            ov = jnp.broadcast_to(ori_viewdirs[..., None, :], sdir.shape)
+            extras.append((sdir - ov).astype(compute_dtype))
+            extras.append(jnp.sum(sdir * ov, -1, keepdims=True).astype(compute_dtype))
+        if cfg.agg_intrp_order == 0:
+            x = run_block("block3", jnp.concatenate(
+                [extras[0]] + [jnp.sum(e * w, -2) for e in extras[1:]], -1))
+        else:
+            x = run_block("block3", jnp.concatenate(extras, -1))
+
+    def mlp(name, x, final_act=None):
+        layers = params[name]
+        for layer in layers[:-1]:
+            x = _act(cfg, _dense(layer, x))
+        x = _dense(layers[-1], x)
+        return final_act(x) if final_act else x
+
+    def raw2density(raw):
+        # raw2out_density (point_aggregators.py:262-267)
+        if cfg.act_super > 0:
+            return jax.nn.softplus(raw - 1.0)
+        return jax.nn.relu(raw)
+
+    def raw2color(raw):
+        # raw2out_color (:269-273)
+        c = jax.nn.sigmoid(raw)
+        if cfg.act_super > 0:
+            c = c * (1 + 2 * 0.001) - 0.001
+        return c
+
+    C = cfg.shading_color_channel_num
+    if cfg.agg_intrp_order == 2:
+        # per-point alpha, interpolated; features interpolated; view-dep color
+        alpha_pp = raw2density(mlp("alpha", x))           # [R,SR,K,1]
+        alpha_pp = jnp.where(mask[..., None], alpha_pp, 0.0)
+        alpha = jnp.sum(alpha_pp * w, axis=-2)            # [R,SR,1]
+        fpp = jnp.where(mask[..., None], x, 0.0)
+        fagg = jnp.sum(fpp * w, axis=-2)                  # [R,SR,H]
+        color_in = jnp.concatenate([fagg, viewdirs_pe.astype(compute_dtype)], -1)
+        color = raw2color(mlp("color", color_in))         # [R,SR,C]
+    elif cfg.agg_intrp_order == 1:
+        fpp = jnp.where(mask[..., None], x, 0.0)
+        fagg = jnp.sum(fpp * w, axis=-2)
+        alpha = raw2density(mlp("alpha", fagg))
+        color_in = jnp.concatenate([fagg, viewdirs_pe.astype(compute_dtype)], -1)
+        color = raw2color(mlp("color", color_in))
+    else:  # order 0: decode per shading point
+        alpha = raw2density(mlp("alpha", x))
+        color_in = jnp.concatenate([x, viewdirs_pe.astype(compute_dtype)], -1)
+        color = raw2color(mlp("color", color_in))
+
+    out = jnp.concatenate([alpha, color], axis=-1).astype(jnp.float32)
+    out = out * ray_valid[..., None]                     # output_placeholder (:644-645)
+    return AggOutput(features=out, ray_valid=ray_valid, weight=weight,
+                     conf_coefficient=conf_coeff)

@@ -1,0 +1,167 @@
+"""The neural point cloud: positions + per-point payloads, as a JAX pytree.
+
+TPU-native redesign of `NeuralPoints` (models/neural_points/neural_points.py:11-812).
+The reference stores each attribute as an nn.Parameter and mutates shapes on
+prune/grow (restarting the process to rebuild optimizers, lego.sh:163,
+run/train_ft.py:918). Here the cloud is an immutable pytree padded to a fixed
+capacity bucket: `num_active` points are live, the tail is dead padding with
+conf=0 and xyz parked outside the scene AABB so the voxel grid never indexes
+it. Prune/grow re-pack in place (or re-bucket to the next power-of-two
+capacity), so jit caches survive and no process restart is needed.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import PointsConfig
+
+# Dead points are parked here — far outside any scene AABB so voxel hashing
+# drops them (grid.build_grid also masks by num_active; this is belt&braces).
+DEAD_XYZ = 1.0e8
+
+
+class PointCloud(NamedTuple):
+    """Trainable point payloads (leaves participate in autodiff; grad masking
+    per attribute happens in the optimizer, see train/optim.py)."""
+    xyz: jnp.ndarray        # [N, 3]
+    features: jnp.ndarray   # [N, F]  (points_embeding, neural_points.py:232)
+    conf: jnp.ndarray       # [N, 1]  (points_conf)
+    color: jnp.ndarray      # [N, 3]  (points_color)
+    dirs: jnp.ndarray       # [N, 3]  (points_dir)
+
+    @property
+    def capacity(self) -> int:
+        return self.xyz.shape[0]
+
+
+class PointCloudStatic(NamedTuple):
+    """Non-trainable companion state."""
+    num_active: jnp.ndarray  # [] int32
+    Rw2c: jnp.ndarray        # [3, 3] global rotation (per-point variant: [N,3,3])
+
+
+def round_capacity(n: int, multiple: int = 4096) -> int:
+    """Bucket capacity so prune/grow re-jits only on bucket change."""
+    return max(multiple, -(-n // multiple) * multiple)
+
+
+def make_point_cloud(xyz: np.ndarray, key, cfg: PointsConfig,
+                     feature_dim: int, features: Optional[np.ndarray] = None,
+                     color: Optional[np.ndarray] = None,
+                     dirs: Optional[np.ndarray] = None,
+                     conf: Optional[np.ndarray] = None,
+                     capacity: Optional[int] = None):
+    """Build a padded PointCloud from raw arrays.
+
+    feature init follows the reference 'rand' path (neural_points.py:241-314 /
+    run/train_ft.py:738-741: uniform in [-1e-4? ...]). The reference uses
+    `torch.rand` scaled — we use uniform(0,1)*1e-2 matching train_ft.py:740
+    (`torch.rand(..) * 0.01` random embeddings) when features are not given.
+    """
+    n = xyz.shape[0]
+    cap = capacity or round_capacity(n)
+    kf, = jax.random.split(key, 1)
+
+    def pad(a, fill=0.0):
+        out = np.full((cap, a.shape[1]), fill, np.float32)
+        out[:n] = a
+        return jnp.asarray(out)
+
+    xyz_p = np.full((cap, 3), DEAD_XYZ, np.float32)
+    xyz_p[:n] = xyz
+    if features is None:
+        features = np.asarray(
+            jax.random.uniform(kf, (n, feature_dim), jnp.float32) * 0.01)
+    if conf is None:
+        conf = np.full((n, 1), cfg.default_conf, np.float32)
+    if color is None:
+        color = np.zeros((n, 3), np.float32)
+    if dirs is None:
+        dirs = np.zeros((n, 3), np.float32)
+
+    pc = PointCloud(xyz=jnp.asarray(xyz_p), features=pad(features),
+                    conf=pad(conf), color=pad(color), dirs=pad(dirs))
+    st = PointCloudStatic(num_active=jnp.asarray(n, jnp.int32),
+                          Rw2c=jnp.eye(3, dtype=jnp.float32))
+    return pc, st
+
+
+class SampledPoints(NamedTuple):
+    """Per-(ray, shading point, neighbor) gathered payloads."""
+    xyz: jnp.ndarray        # [R, SR, K, 3]
+    xyz_pers: jnp.ndarray   # [R, SR, K, 3]
+    features: jnp.ndarray   # [R, SR, K, F]
+    conf: jnp.ndarray       # [R, SR, K, 1]
+    color: jnp.ndarray      # [R, SR, K, 3]
+    dirs: jnp.ndarray       # [R, SR, K, 3]
+    mask: jnp.ndarray       # [R, SR, K] bool
+
+
+def gather_points(pc: PointCloud, xyz_pers: jnp.ndarray,
+                  sample_pidx: jnp.ndarray) -> SampledPoints:
+    """Gather neighbor payloads (NeuralPoints.forward, neural_points.py:782-812).
+
+    xyz_pers: [N, 3] perspective coords of all points for the current camera
+    (computed once per view like point_xyz_pers_tensor, :635).
+    sample_pidx: [R, SR, K] (-1 invalid; invalid gathers clamp to 0 and are
+    masked downstream, matching torch.clamp(sample_pidx, min=0) :790).
+    """
+    mask = sample_pidx >= 0
+    idx = jnp.maximum(sample_pidx, 0)
+    return SampledPoints(
+        xyz=pc.xyz[idx], xyz_pers=xyz_pers[idx], features=pc.features[idx],
+        conf=pc.conf[idx], color=pc.color[idx], dirs=pc.dirs[idx], mask=mask)
+
+
+def prune(pc: PointCloud, st: PointCloudStatic, thresh: float):
+    """Drop points with conf <= thresh (NeuralPoints.prune, :350-373), packing
+    survivors to the front of the same capacity bucket. Returns new
+    (pc, st, kept_count)."""
+    n = pc.capacity
+    alive = (jnp.arange(n) < st.num_active) & (pc.conf[:, 0] > thresh)
+    order = jnp.argsort(~alive, stable=True)  # survivors first, stable
+    kept = jnp.sum(alive.astype(jnp.int32))
+
+    def pack(a, fill):
+        out = a[order]
+        dead = jnp.arange(n)[:, None] >= kept
+        return jnp.where(dead, fill, out)
+
+    pc2 = PointCloud(
+        xyz=pack(pc.xyz, DEAD_XYZ), features=pack(pc.features, 0.0),
+        conf=pack(pc.conf, 0.0), color=pack(pc.color, 0.0),
+        dirs=pack(pc.dirs, 0.0))
+    return pc2, st._replace(num_active=kept), kept
+
+
+def grow(pc: PointCloud, st: PointCloudStatic, new_xyz, new_features, new_conf,
+         new_color, new_dirs):
+    """Append grown points (NeuralPoints.grow_points, :376-402) into the
+    padding tail. Caller must ensure capacity (re-bucket first if needed);
+    overflow beyond capacity is dropped.
+
+    new_* are [M, ...] arrays with a validity convention: rows of new_xyz equal
+    to DEAD_XYZ are ignored (static-shape growing: M is the probe budget, the
+    actual number of new points is dynamic).
+    """
+    n = pc.capacity
+    m = new_xyz.shape[0]
+    new_ok = new_xyz[:, 0] < DEAD_XYZ / 2
+    new_rank = jnp.cumsum(new_ok.astype(jnp.int32)) - 1
+    dst = jnp.where(new_ok, st.num_active + new_rank, n)  # n -> dropped
+
+    def app(a, na):
+        return a.at[dst].set(na, mode="drop")
+
+    pc2 = PointCloud(
+        xyz=app(pc.xyz, new_xyz), features=app(pc.features, new_features),
+        conf=app(pc.conf, new_conf), color=app(pc.color, new_color),
+        dirs=app(pc.dirs, new_dirs))
+    added = jnp.minimum(jnp.sum(new_ok.astype(jnp.int32)),
+                        n - st.num_active)
+    return pc2, st._replace(num_active=st.num_active + added), added

@@ -1,0 +1,150 @@
+"""Occupancy voxel grid over the neural point cloud — sort-based, TPU-native.
+
+Replaces the reference's pycuda kernels `claim_occ`, `map_coor2occ`,
+`fill_occ2pnts` (models/neural_points/query_point_indices_worldcoords.py:243-387)
+which build the grid with global atomics + reservoir sampling. On TPU we build
+the same data structures deterministically with one `lax.sort` and scatters:
+
+  vox_slot   [G]        flat scaled-voxel id -> occupied-voxel slot (or -1)
+  vox_occ    [G] int8   occupancy dilated by `query_size` (for ray masking)
+  bucket_pnt [max_o, P] point ids stored per occupied voxel (-1 pad)
+  bucket_cnt [max_o]    number of stored points per occupied voxel (<= P)
+
+Differences vs the reference (intentional, deterministic):
+ - voxel-slot overflow beyond `max_o` drops the voxels latest in voxel-id
+   order instead of reservoir-sampling (claim_occ :290-299);
+ - bucket overflow beyond `P` keeps the P lowest point ids instead of
+   reservoir-sampling (fill_occ2pnts :377-384).
+The grid only depends on point positions, so unlike the reference (which
+rebuilds it every iteration inside query_points) callers cache it and rebuild
+only when the point set changes (prune/grow); xyz gradients are off in every
+reference scene config (lego.sh:12 `load_points=0` path sets xyz_grad 0).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import QueryConfig
+
+
+class GridMeta(NamedTuple):
+    """Static (python) grid geometry derived from QueryConfig."""
+    lo: Tuple[float, float, float]          # coord shift (ranges min - pad)
+    vdim: Tuple[int, int, int]              # scaled-voxel grid dims
+    scaled_vsize: Tuple[float, float, float]
+
+    @property
+    def num_cells(self) -> int:
+        return self.vdim[0] * self.vdim[1] * self.vdim[2]
+
+
+class PointGrid(NamedTuple):
+    """Device-side grid state (pytree)."""
+    vox_slot: jnp.ndarray    # [G] int32
+    vox_occ: jnp.ndarray     # [G] int8 (dilated occupancy)
+    bucket_pnt: jnp.ndarray  # [max_o, P] int32
+    bucket_cnt: jnp.ndarray  # [max_o] int32
+    num_occ: jnp.ndarray     # [] int32 — number of occupied voxels (pre-cap)
+
+
+def grid_meta(cfg: QueryConfig) -> GridMeta:
+    lo, _hi, vdim = cfg.grid_bounds()
+    return GridMeta(lo=lo, vdim=vdim, scaled_vsize=cfg.scaled_vsize)
+
+
+def voxel_coords(xyz: jnp.ndarray, meta: GridMeta) -> jnp.ndarray:
+    """World position [..., 3] -> integer scaled-voxel coords [..., 3].
+
+    floor semantics match claim_occ (worldcoords kernel :265-267)."""
+    lo = jnp.asarray(meta.lo, dtype=xyz.dtype)
+    vs = jnp.asarray(meta.scaled_vsize, dtype=xyz.dtype)
+    return jnp.floor((xyz - lo) / vs).astype(jnp.int32)
+
+
+def flat_vid(coor: jnp.ndarray, meta: GridMeta) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Integer coords -> (flat voxel id, in-bounds mask). Out-of-bounds -> G."""
+    gx, gy, gz = meta.vdim
+    inb = jnp.all((coor >= 0) & (coor < jnp.asarray(meta.vdim, jnp.int32)), axis=-1)
+    vid = (coor[..., 0] * (gy * gz) + coor[..., 1] * gz + coor[..., 2])
+    return jnp.where(inb, vid, meta.num_cells), inb
+
+
+def _dilation_offsets(query_size: Tuple[int, int, int]) -> np.ndarray:
+    """Occupancy dilation offsets (map_coor2occ :330-338): for kernel size k the
+    reach is [-(k//2), +((k+1)//2 - 1)] per axis."""
+    axes = []
+    for k in (int(query_size[0]), int(query_size[1]), int(query_size[2])):
+        axes.append(np.arange(-(k // 2), (k + 1) // 2))
+    ox, oy, oz = np.meshgrid(*axes, indexing="ij")
+    return np.stack([ox.ravel(), oy.ravel(), oz.ravel()], axis=-1).astype(np.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def build_grid(xyz: jnp.ndarray, num_active: jnp.ndarray, cfg: QueryConfig) -> PointGrid:
+    """Build the occupancy grid from point positions.
+
+    xyz: [N, 3] float32 (padded; entries >= num_active are ignored).
+    num_active: [] int32 count of live points (actual_numpoints in the
+    reference, neural_points.py:639).
+    """
+    meta = grid_meta(cfg)
+    N = xyz.shape[0]
+    G = meta.num_cells
+    max_o, P = cfg.max_o, cfg.P
+
+    coor = voxel_coords(xyz, meta)
+    vid, inb = flat_vid(coor, meta)
+    alive = jnp.arange(N, dtype=jnp.int32) < num_active
+    vid = jnp.where(alive & inb, vid, G)
+
+    # Stable sort by voxel id; ties keep ascending point id.
+    sorted_vid, sorted_pid = jax.lax.sort(
+        (vid.astype(jnp.int32), jnp.arange(N, dtype=jnp.int32)), num_keys=1)
+
+    valid = sorted_vid < G
+    prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), sorted_vid[:-1]])
+    is_new = (sorted_vid != prev) & valid
+    occ_rank = jnp.cumsum(is_new.astype(jnp.int32)) - 1          # [N]
+    num_occ = occ_rank[-1] + 1 if N > 0 else jnp.int32(0)
+
+    # Within-voxel rank = position - segment start.
+    idx = jnp.arange(N, dtype=jnp.int32)
+    seg_start = jax.lax.cummax(jnp.where(is_new, idx, -1))
+    within = idx - seg_start
+
+    occ_ok = valid & (occ_rank >= 0) & (occ_rank < max_o)
+
+    # bucket_pnt[occ_rank, within] = sorted_pid  (first P per voxel)
+    row = jnp.where(occ_ok & (within < P), occ_rank, max_o)
+    col = jnp.where(within < P, within, 0)
+    bucket_pnt = jnp.full((max_o, P), -1, jnp.int32).at[row, col].set(
+        sorted_pid, mode="drop")
+    bucket_cnt = jnp.zeros((max_o,), jnp.int32).at[
+        jnp.where(occ_ok, occ_rank, max_o)].add(1, mode="drop")
+    bucket_cnt = jnp.minimum(bucket_cnt, P)
+
+    # vox_slot[vid] = occ_rank at each segment head.
+    head_vid = jnp.where(is_new & occ_ok, sorted_vid, G)
+    vox_slot = jnp.full((G,), -1, jnp.int32).at[head_vid].set(occ_rank, mode="drop")
+
+    # occ_coor per occupied voxel for dilation.
+    occ_vid = jnp.full((max_o,), G, jnp.int32).at[
+        jnp.where(is_new & occ_ok, occ_rank, max_o)].set(sorted_vid, mode="drop")
+    gy, gz = meta.vdim[1], meta.vdim[2]
+    occ_c = jnp.stack([occ_vid // (gy * gz), (occ_vid // gz) % gy, occ_vid % gz],
+                      axis=-1)  # [max_o, 3]; garbage rows have occ_vid == G
+    occ_valid = occ_vid < G
+
+    offs = jnp.asarray(_dilation_offsets(cfg.query_size))         # [Q, 3]
+    ncoor = occ_c[:, None, :] + offs[None, :, :]                  # [max_o, Q, 3]
+    nvid, ninb = flat_vid(ncoor, meta)
+    nvid = jnp.where(ninb & occ_valid[:, None], nvid, G)
+    vox_occ = jnp.zeros((G,), jnp.int8).at[nvid.reshape(-1)].set(1, mode="drop")
+
+    return PointGrid(vox_slot=vox_slot, vox_occ=vox_occ, bucket_pnt=bucket_pnt,
+                     bucket_cnt=bucket_cnt, num_occ=jnp.asarray(num_occ, jnp.int32))

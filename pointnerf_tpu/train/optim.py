@@ -1,0 +1,70 @@
+"""Two-group optimization: shading MLPs vs neural-point payloads.
+
+reference: NeuralPointsVolumetricModel.setup_optimizer
+(models/neural_points_volumetric_model_ori.py:182-208) builds two Adams — the
+MLP group at `lr` and the point group at `plr`
+(models/mvs_points_volumetric_model.py:92-94) — stepped together or
+alternately by `alter_step` (:210-217). Schedulers multiply lr by
+`lr_decay_exp ** (it / lr_decay_iters)` (helpers/networks.py:56-61).
+
+Here: one optax.multi_transform over the {'mlp', 'points'} partition of the
+parameter pytree. Per-attribute grad toggles (xyz_grad/feat_grad/... —
+neural_points.py:270-326) are applied by zeroing gradients before the update,
+so prune/grow never has to rebuild optimizer state for shape reasons (state
+lives on the fixed capacity buckets).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import PointNeRFConfig, PointsConfig
+from ..models.points import PointCloud
+
+
+def lr_schedule(base_lr: float, cfg: PointNeRFConfig):
+    t = cfg.train
+    if t.lr_policy == "iter_exponential_decay":
+        def sched(step):
+            return base_lr * t.lr_decay_exp ** (step / t.lr_decay_iters)
+        return sched
+    if t.lr_policy in ("none", ""):
+        return base_lr
+    raise ValueError(f"unsupported lr_policy {t.lr_policy}")
+
+
+def make_optimizer(cfg: PointNeRFConfig) -> optax.GradientTransformation:
+    return optax.multi_transform(
+        {"mlp": optax.adam(lr_schedule(cfg.train.lr, cfg), b1=0.9, b2=0.999),
+         "points": optax.adam(lr_schedule(cfg.train.plr, cfg), b1=0.9, b2=0.999)},
+        param_labels={"mlp": "mlp", "points": "points"})
+
+
+def apply_grad_flags(pc_grads: PointCloud, cfg: PointsConfig) -> PointCloud:
+    """Zero gradients of frozen point attributes (neural_points.py:270-326)."""
+    def z(g, on):
+        return g if on else jnp.zeros_like(g)
+    return PointCloud(
+        xyz=z(pc_grads.xyz, cfg.xyz_grad),
+        features=z(pc_grads.features, cfg.feat_grad),
+        conf=z(pc_grads.conf, cfg.conf_grad),
+        color=z(pc_grads.color, cfg.color_grad),
+        dirs=z(pc_grads.dirs, cfg.dir_grad),
+    )
+
+
+def alter_mask(step, alter_step: int):
+    """(mlp_active, points_active) for the alternation schedule (_ori.py:214-217)."""
+    if alter_step == 0:
+        return jnp.bool_(True), jnp.bool_(True)
+    phase = (step // alter_step) % 2
+    return phase == 0, phase == 1
+
+
+def masked_updates(updates: Dict[str, Any], mlp_on, pts_on):
+    """Scale update groups by the alternation mask (no-op when both on)."""
+    scale = {"mlp": mlp_on.astype(jnp.float32), "points": pts_on.astype(jnp.float32)}
+    return {k: jax.tree.map(lambda u: u * scale[k], v) for k, v in updates.items()}

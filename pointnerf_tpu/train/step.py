@@ -1,0 +1,85 @@
+"""The jitted training step.
+
+Replaces the reference's optimize_parameters path
+(models/neural_points_volumetric_model_ori.py:220-223 -> forward -> backward)
+with a single fused jit: render -> loss -> grad -> two-group Adam update.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import PointNeRFConfig
+from ..models.losses import compute_losses, mse2psnr
+from ..models.points import PointCloud, PointCloudStatic
+from ..models.renderer import RayBatch, RenderOutput, render_rays
+from ..ops.grid import PointGrid, build_grid
+from .optim import alter_mask, apply_grad_flags, make_optimizer, masked_updates
+
+
+class TrainState(NamedTuple):
+    params: Dict[str, Any]        # {"mlp": aggregator params, "points": PointCloud}
+    opt_state: Any
+    step: jnp.ndarray             # [] int32
+    key: jnp.ndarray              # PRNG key
+
+
+def create_train_state(key, agg_params, pc: PointCloud,
+                       cfg: PointNeRFConfig) -> TrainState:
+    params = {"mlp": agg_params, "points": pc}
+    tx = make_optimizer(cfg)
+    return TrainState(params=params, opt_state=tx.init(params),
+                      step=jnp.asarray(0, jnp.int32), key=key)
+
+
+def loss_fn(params, st: PointCloudStatic, grid: PointGrid, batch: RayBatch,
+            cfg: PointNeRFConfig, key, compute_dtype=jnp.float32):
+    out = render_rays(params["mlp"], params["points"], st, grid, batch, cfg,
+                      key=key, train=True, compute_dtype=compute_dtype)
+    total, items = compute_losses(out, batch.gt_image, cfg.loss)
+    items["psnr_masked"] = mse2psnr(items.get(
+        "loss_ray_masked_coarse_raycolor", jnp.asarray(0.0)))
+    mse_all = jnp.mean((out.coarse_raycolor - batch.gt_image) ** 2)
+    items["psnr"] = mse2psnr(mse_all)
+    return total, items
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
+def train_step(state: TrainState, st: PointCloudStatic, grid: PointGrid,
+               batch: RayBatch, cfg: PointNeRFConfig
+               ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+    key, sub = jax.random.split(state.key)
+    (total, items), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        state.params, st, grid, batch, cfg, sub)
+    grads["points"] = apply_grad_flags(grads["points"], cfg.points)
+
+    tx = make_optimizer(cfg)
+    updates, new_opt = tx.update(grads, state.opt_state, state.params)
+    if cfg.train.alter_step > 0:
+        mlp_on, pts_on = alter_mask(state.step, cfg.train.alter_step)
+        updates = masked_updates(updates, mlp_on, pts_on)
+    new_params = optax.apply_updates(state.params, updates)
+    items["loss_total"] = total
+    return TrainState(params=new_params, opt_state=new_opt,
+                      step=state.step + 1, key=key), items
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "prob"))
+def eval_step(params, st: PointCloudStatic, grid: PointGrid, batch: RayBatch,
+              cfg: PointNeRFConfig, prob: bool = False) -> RenderOutput:
+    """Inference forward (no jitter, no grad) — reference test()
+    (run/train_ft.py:255-323) renders images in ray chunks with this."""
+    return render_rays(params["mlp"], params["points"], st, grid, batch, cfg,
+                       key=None, train=False, prob=prob)
+
+
+def refresh_grid(pc: PointCloud, st: PointCloudStatic,
+                 cfg: PointNeRFConfig) -> PointGrid:
+    """Rebuild the occupancy grid after a point-set change (prune/grow).
+    The reference rebuilds this every iteration (query_grid_point_index
+    :626); positions only change on prune/grow here, so callers cache it."""
+    return build_grid(pc.xyz, st.num_active, cfg.query)

@@ -1,0 +1,150 @@
+"""Unit tests: grid build, KNN query, PE, ray march vs numpy oracles."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pointnerf_tpu.config import QueryConfig
+from pointnerf_tpu.ops.grid import build_grid, grid_meta
+from pointnerf_tpu.ops.pe import positional_encoding
+from pointnerf_tpu.ops.query import (knn_query, near_far_linear_ray_generation,
+                                     select_shading_points)
+from pointnerf_tpu.models.ray_march import alpha_blend, radiance_render, ray_march
+
+from oracles import (oracle_build_grid, oracle_knn, oracle_positional_encoding,
+                     oracle_ray_march)
+
+
+def tiny_qcfg(**kw):
+    base = dict(vsize=(0.1, 0.1, 0.1), vscale=(1.0, 1.0, 1.0),
+                kernel_size=(3, 3, 3), query_size=(3, 3, 3),
+                max_o=512, P=4, K=3, SR=8, z_depth_dim=32,
+                radius_limit_scale=0.0,
+                ranges=(-1.0, -1.0, -1.0, 1.0, 1.0, 1.0), knn_chunk=1024)
+    base.update(kw)
+    return QueryConfig(**base)
+
+
+def test_positional_encoding_matches_oracle():
+    x = np.random.RandomState(0).randn(5, 3).astype(np.float32)
+    for freqs in (1, 4):
+        for ori in (False, True):
+            got = np.asarray(positional_encoding(jnp.asarray(x), freqs, ori=ori))
+            want = oracle_positional_encoding(x, freqs, ori=ori)
+            np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_build_grid_matches_oracle():
+    rng = np.random.RandomState(1)
+    xyz = rng.uniform(-0.9, 0.9, (200, 3)).astype(np.float32)
+    cfg = tiny_qcfg()
+    meta = grid_meta(cfg)
+    grid = build_grid(jnp.asarray(xyz), jnp.asarray(200, jnp.int32), cfg)
+
+    occ, occ_vids, bucket = oracle_build_grid(
+        xyz, meta.lo, meta.scaled_vsize, meta.vdim, cfg.max_o, cfg.P,
+        cfg.query_size)
+
+    # occupancy grids agree
+    got_occ = np.asarray(grid.vox_occ).reshape(meta.vdim)
+    np.testing.assert_array_equal(got_occ, occ)
+
+    # every oracle voxel has a slot with identical point sets
+    vox_slot = np.asarray(grid.vox_slot)
+    bucket_pnt = np.asarray(grid.bucket_pnt)
+    bucket_cnt = np.asarray(grid.bucket_cnt)
+    assert int(grid.num_occ) == len(occ_vids)
+    for i, v in enumerate(occ_vids):
+        s = vox_slot[v]
+        assert s >= 0
+        got = sorted(p for p in bucket_pnt[s] if p >= 0)
+        assert got == sorted(bucket[i])
+        assert bucket_cnt[s] == len(bucket[i])
+
+
+def test_dead_points_excluded():
+    xyz = np.zeros((10, 3), np.float32)
+    xyz[5:] = 1e8  # dead padding
+    cfg = tiny_qcfg()
+    grid = build_grid(jnp.asarray(xyz), jnp.asarray(5, jnp.int32), cfg)
+    assert int(grid.num_occ) == 1
+    assert int(grid.bucket_cnt[0]) == min(5, cfg.P)
+
+
+@pytest.mark.parametrize("shell", [True, False])
+def test_knn_matches_oracle(shell):
+    rng = np.random.RandomState(2)
+    xyz = rng.uniform(-0.9, 0.9, (300, 3)).astype(np.float32)
+    cfg = tiny_qcfg(shell_layered=shell, radius_limit_scale=4.0)
+    meta = grid_meta(cfg)
+    grid = build_grid(jnp.asarray(xyz), jnp.asarray(300, jnp.int32), cfg)
+    _occ, occ_vids, bucket = oracle_build_grid(
+        xyz, meta.lo, meta.scaled_vsize, meta.vdim, cfg.max_o, cfg.P,
+        cfg.query_size)
+
+    centers = rng.uniform(-0.8, 0.8, (4, 7, 3)).astype(np.float32)  # [R,SR,3]
+    mask = np.ones(centers.shape[:2], bool)
+    pidx = np.asarray(knn_query(jnp.asarray(centers), jnp.asarray(mask),
+                                jnp.asarray(xyz), grid, cfg))
+    r2 = cfg.radius_limit ** 2
+    for r in range(centers.shape[0]):
+        for s in range(centers.shape[1]):
+            got_ids = [p for p in pidx[r, s] if p >= 0]
+            got_d2 = sorted(float(np.sum((xyz[p] - centers[r, s]) ** 2))
+                            for p in got_ids)
+            want_d2 = oracle_knn(centers[r, s], xyz, meta.lo, meta.scaled_vsize,
+                                 meta.vdim, occ_vids, bucket, cfg.K, cfg.P,
+                                 cfg.kernel_size, r2, shell_layered=shell)
+            np.testing.assert_allclose(got_d2, want_d2, rtol=1e-5, atol=1e-7)
+
+
+def test_select_shading_points_first_SR():
+    cfg = tiny_qcfg(SR=4)
+    meta = grid_meta(cfg)
+    # single occupied voxel at origin
+    xyz = np.zeros((1, 3), np.float32)
+    grid = build_grid(jnp.asarray(xyz), jnp.asarray(1, jnp.int32), cfg)
+    # ray through origin: samples from -1 to 1 on x-axis
+    t = np.linspace(-1.0, 1.0, 20, dtype=np.float32)
+    raypos = np.stack([t, np.zeros_like(t), np.zeros_like(t)], -1)[None]  # [1,20,3]
+    loc, m = select_shading_points(jnp.asarray(raypos), grid, meta, cfg.SR)
+    loc, m = np.asarray(loc), np.asarray(m)
+    # point voxel dilated by one voxel each side: occupied iff the sample's
+    # voxel coord is within +-1 of the point's voxel coord
+    lo = np.asarray(meta.lo)
+    vs = np.asarray(meta.scaled_vsize)
+    pvox = np.floor((np.zeros(3) - lo) / vs).astype(int)
+    svox = np.floor((raypos[0] - lo) / vs).astype(int)
+    hits = np.all(np.abs(svox - pvox) <= 1, axis=-1)
+    expected = raypos[0][hits][:cfg.SR]
+    assert m[0].sum() == min(len(expected), cfg.SR)
+    np.testing.assert_allclose(loc[0][:m[0].sum()], expected, atol=1e-6)
+
+
+def test_ray_generation_midpoints_no_jitter():
+    campos = jnp.zeros(3)
+    raydir = jnp.asarray([[0.0, 0.0, 1.0], [0.0, 0.0, 2.0]])
+    raypos, seglen, mid = near_far_linear_ray_generation(
+        campos, raydir, 10, 2.0, 6.0, jitter=0.0)
+    step = 0.4
+    want_mid = 2.0 + step / 2 + step * np.arange(10)
+    np.testing.assert_allclose(np.asarray(mid[0]), want_mid, rtol=1e-5)
+    # segment length scales with |raydir| (diff_ray_marching.py:392)
+    np.testing.assert_allclose(np.asarray(seglen[1]), step * 2.0, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(raypos[0, :, 2]), want_mid, rtol=1e-5)
+
+
+def test_ray_march_matches_oracle():
+    rng = np.random.RandomState(3)
+    R, SR, C = 6, 10, 3
+    feats = rng.rand(R, SR, 1 + C).astype(np.float32)
+    dist = rng.rand(R, SR).astype(np.float32) * 0.1
+    valid = rng.rand(R, SR) > 0.3
+    bg = np.array([1.0, 1.0, 1.0], np.float32)
+    got = ray_march(jnp.asarray(dist), jnp.asarray(valid), jnp.asarray(feats),
+                    radiance_render, alpha_blend, jnp.asarray(bg))
+    want_color, want_op, want_acc, want_bgT = oracle_ray_march(
+        dist, valid, feats, bg)
+    np.testing.assert_allclose(np.asarray(got[0]), want_color, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got[2]), want_op, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got[5]), want_bgT, atol=1e-5)
