@@ -190,6 +190,10 @@ class TrainConfig:
     test_freq: int = 10000
     print_freq: int = 40
     seed: int = 0
+    # MXU compute dtype for the aggregator MLPs ("f32" | "bf16"). Params,
+    # compositing, and losses stay f32; only the big masked matmuls run in
+    # bf16 (TPU-native mixed precision — no reference analog).
+    compute_dtype: str = "f32"
 
 
 @dataclass(frozen=True)
@@ -200,7 +204,9 @@ class ParallelConfig:
     cloud can be sharded over `mp` with halo all-gathers."""
     dp: int = 1                  # ray/data parallel axis size
     mp: int = 1                  # point-shard axis size
-    remat: bool = False          # jax.checkpoint the aggregator MLP
+    remat: bool = False          # jax.checkpoint the aggregate+march core:
+                                 # recompute activations in backward instead
+                                 # of holding [R*SR*K, hidden] residuals in HBM
 
 
 @dataclass(frozen=True)
@@ -261,6 +267,22 @@ class PointNeRFConfig:
 def lego_config() -> PointNeRFConfig:
     """The canonical lego per-scene config (dev_scripts/w_n360/lego.sh)."""
     return PointNeRFConfig()
+
+
+def bench_config() -> PointNeRFConfig:
+    """Reference-budget benchmark config on the synthetic sphere scene:
+    the full lego query/shading budget (D=400 -> SR=80 -> K=8, 3600 rays/iter,
+    dev_scripts/w_n360/lego.sh:51-66,110-112) with an AABB sized for the
+    procedural sphere (data/synthetic.py). bf16 MXU compute + remat."""
+    return PointNeRFConfig(
+        query=QueryConfig(
+            vsize=(0.008, 0.008, 0.008), vscale=(2.0, 2.0, 2.0),
+            max_o=65536, P=9, K=8, SR=80, z_depth_dim=400,
+            ranges=(-0.8, -0.8, -0.8, 0.8, 0.8, 0.8), knn_chunk=36864),
+        render=RenderConfig(near_plane=2.0, far_plane=4.5),
+        train=TrainConfig(compute_dtype="bf16"),
+        parallel=ParallelConfig(remat=True),
+    )
 
 
 def tiny_test_config() -> PointNeRFConfig:

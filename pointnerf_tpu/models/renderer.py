@@ -75,6 +75,82 @@ def compute_ray_dist(sample_loc_pers, ray_valid, vsize_z: float,
     return ray_dist * ray_valid.astype(ray_dist.dtype)
 
 
+def shade(params: Dict, cfg: PointNeRFConfig, sp, sample_loc, sample_loc_w,
+          sample_ray_dirs, Rw2c, prob: bool = False,
+          compute_dtype=jnp.float32) -> RenderOutput:
+    """Post-gather pipeline: aggregate -> ray_dist -> march -> tonemap.
+
+    Shared by the single-chip path (render_rays) and the point-sharded path
+    (parallel/sharded.py), which merges cross-shard KNN candidates before
+    calling this. All inputs are per-(ray, sample[, neighbor]) tensors."""
+    if cfg.train.compute_dtype == "bf16":
+        compute_dtype = jnp.bfloat16
+
+    def _agg(params, sp, sample_loc, sample_loc_w, sample_ray_dirs, Rw2c):
+        return aggregate(params, cfg.agg, sp, sample_loc, sample_loc_w,
+                         sample_ray_dirs, cfg.query.vsize, Rw2c=Rw2c,
+                         compute_dtype=compute_dtype)
+
+    if cfg.parallel.remat:
+        _agg = jax.checkpoint(_agg)
+    agg = _agg(params, sp, sample_loc, sample_loc_w, sample_ray_dirs, Rw2c)
+
+    ray_dist = compute_ray_dist(sample_loc, agg.ray_valid,
+                                cfg.query.vsize[2], cfg.render.raydist_mode_unit)
+
+    render_func = RENDER_FUNCS[cfg.render.which_render_func]
+    blend_func = BLEND_FUNCS[cfg.render.which_blend_func]
+    tonemap = TONEMAP_FUNCS[cfg.render.which_tonemap_func]
+    bg = jnp.asarray(cfg.render.bg_color, jnp.float32)
+    if cfg.agg.shading_color_channel_num != 3:
+        bg = jnp.zeros((cfg.agg.shading_color_channel_num,), jnp.float32)
+
+    (ray_color, _point_color, opacity, acc_transmission, _blend_w,
+     background_transmission, _bg_bw) = ray_march(
+        ray_dist, agg.ray_valid, agg.features, render_func, blend_func, bg)
+    ray_color = tonemap(ray_color)
+
+    queried_shading = (~jnp.any(agg.ray_valid, axis=-1, keepdims=True)).astype(jnp.float32)
+    ray_mask = jnp.any(sp.mask.reshape(sp.mask.shape[0], -1), axis=-1)
+
+    out = RenderOutput(
+        coarse_raycolor=ray_color,
+        coarse_is_background=background_transmission,
+        coarse_point_opacity=opacity,
+        queried_shading=queried_shading,
+        ray_mask=ray_mask,
+        weight=agg.weight,
+        conf_coefficient=agg.conf_coefficient,
+        ray_valid=agg.ray_valid,
+        sample_loc_w=sample_loc_w,
+    )
+
+    if prob:
+        # probe outputs used by point growing (_ori.py:351-372)
+        op = opacity  # [R, SR]
+        max_op = jnp.max(op, axis=-1, keepdims=True)             # [R,1]
+        op_ind = jnp.argmax(op, axis=-1)                         # [R]
+        r = jnp.arange(op.shape[0])
+        loc_w = sample_loc_w[r, op_ind]                          # [R,3]
+        wgt = (agg.weight * agg.conf_coefficient)[r, op_ind]     # [R,K]
+        sxyz = sp.xyz[r, op_ind]                                 # [R,K,3]
+        m = sp.mask[r, op_ind]                                   # [R,K]
+        far = jnp.min(jnp.where(m, jnp.linalg.norm(sxyz - loc_w[:, None, :], axis=-1),
+                                jnp.inf), axis=-1, keepdims=True)
+        far = jnp.where(jnp.isfinite(far), far, 0.0)
+        wk = wgt[..., None]
+        out = out._replace(
+            ray_max_shading_opacity=max_op,
+            ray_max_sample_loc_w=loc_w,
+            ray_max_far_dist=far,
+            shading_avg_color=jnp.sum(sp.color[r, op_ind] * wk, axis=-2),
+            shading_avg_dir=jnp.sum(sp.dirs[r, op_ind] * wk, axis=-2),
+            shading_avg_conf=jnp.sum(sp.conf[r, op_ind] * wk, axis=-2),
+            shading_avg_embedding=jnp.sum(sp.features[r, op_ind] * wk, axis=-2),
+        )
+    return out
+
+
 def render_rays(params: Dict, pc: PointCloud, st: PointCloudStatic,
                 grid: PointGrid, batch: RayBatch, cfg: PointNeRFConfig,
                 key: Optional[jnp.ndarray] = None, train: bool = False,
@@ -94,60 +170,5 @@ def render_rays(params: Dict, pc: PointCloud, st: PointCloudStatic,
 
     sample_ray_dirs = jnp.broadcast_to(batch.raydir[:, None, :],
                                        q.sample_loc_w.shape)
-    agg = aggregate(params, cfg.agg, sp, sample_loc, q.sample_loc_w,
-                    sample_ray_dirs, cfg.query.vsize, Rw2c=st.Rw2c,
-                    compute_dtype=compute_dtype)
-
-    ray_dist = compute_ray_dist(sample_loc, agg.ray_valid,
-                                cfg.query.vsize[2], cfg.render.raydist_mode_unit)
-
-    render_func = RENDER_FUNCS[cfg.render.which_render_func]
-    blend_func = BLEND_FUNCS[cfg.render.which_blend_func]
-    tonemap = TONEMAP_FUNCS[cfg.render.which_tonemap_func]
-    bg = jnp.asarray(cfg.render.bg_color, jnp.float32)
-    if cfg.agg.shading_color_channel_num != 3:
-        bg = jnp.zeros((cfg.agg.shading_color_channel_num,), jnp.float32)
-
-    (ray_color, _point_color, opacity, acc_transmission, _blend_w,
-     background_transmission, _bg_bw) = ray_march(
-        ray_dist, agg.ray_valid, agg.features, render_func, blend_func, bg)
-    ray_color = tonemap(ray_color)
-
-    queried_shading = (~jnp.any(agg.ray_valid, axis=-1, keepdims=True)).astype(jnp.float32)
-
-    out = RenderOutput(
-        coarse_raycolor=ray_color,
-        coarse_is_background=background_transmission,
-        coarse_point_opacity=opacity,
-        queried_shading=queried_shading,
-        ray_mask=q.ray_mask,
-        weight=agg.weight,
-        conf_coefficient=agg.conf_coefficient,
-        ray_valid=agg.ray_valid,
-        sample_loc_w=q.sample_loc_w,
-    )
-
-    if prob:
-        # probe outputs used by point growing (_ori.py:351-372)
-        op = opacity  # [R, SR]
-        max_op = jnp.max(op, axis=-1, keepdims=True)             # [R,1]
-        op_ind = jnp.argmax(op, axis=-1)                         # [R]
-        r = jnp.arange(op.shape[0])
-        loc_w = q.sample_loc_w[r, op_ind]                        # [R,3]
-        wgt = (agg.weight * agg.conf_coefficient)[r, op_ind]     # [R,K]
-        sxyz = sp.xyz[r, op_ind]                                 # [R,K,3]
-        m = sp.mask[r, op_ind]                                   # [R,K]
-        far = jnp.min(jnp.where(m, jnp.linalg.norm(sxyz - loc_w[:, None, :], axis=-1),
-                                jnp.inf), axis=-1, keepdims=True)
-        far = jnp.where(jnp.isfinite(far), far, 0.0)
-        wk = wgt[..., None]
-        out = out._replace(
-            ray_max_shading_opacity=max_op,
-            ray_max_sample_loc_w=loc_w,
-            ray_max_far_dist=far,
-            shading_avg_color=jnp.sum(sp.color[r, op_ind] * wk, axis=-2),
-            shading_avg_dir=jnp.sum(sp.dirs[r, op_ind] * wk, axis=-2),
-            shading_avg_conf=jnp.sum(sp.conf[r, op_ind] * wk, axis=-2),
-            shading_avg_embedding=jnp.sum(sp.features[r, op_ind] * wk, axis=-2),
-        )
-    return out
+    return shade(params, cfg, sp, sample_loc, q.sample_loc_w, sample_ray_dirs,
+                 st.Rw2c, prob=prob, compute_dtype=compute_dtype)

@@ -221,15 +221,16 @@ def knn_query(sample_loc_w: jnp.ndarray, sample_mask: jnp.ndarray,
 
     def body(args):
         c, m = args
-        pidx, _ = _knn_chunk(c, m, xyz, grid, meta, cfg)
-        return pidx
+        return _knn_chunk(c, m, xyz, grid, meta, cfg)
 
     if n_chunks == 1:
-        pidx = body((cs[0], ms[0]))[None]
+        pidx, d2 = body((cs[0], ms[0]))
+        pidx, d2 = pidx[None], d2[None]
     else:
-        pidx = jax.lax.map(body, (cs, ms))
+        pidx, d2 = jax.lax.map(body, (cs, ms))
     pidx = pidx.reshape(-1, cfg.K)[:total].reshape(R, SR, cfg.K)
-    return pidx
+    d2 = d2.reshape(-1, cfg.K)[:total].reshape(R, SR, cfg.K)
+    return pidx, d2
 
 
 # --------------------------------------------------------------------------
@@ -249,7 +250,7 @@ def query_points(xyz: jnp.ndarray, grid: PointGrid, campos: jnp.ndarray,
     raypos, _seg, _t = gen(campos, raydir, cfg.z_depth_dim, near, far,
                            jitter=jitter, key=key)
     sample_loc_w, sample_mask = select_shading_points(raypos, grid, meta, cfg.SR)
-    sample_pidx = knn_query(sample_loc_w, sample_mask, xyz, grid, cfg)
+    sample_pidx, _d2 = knn_query(sample_loc_w, sample_mask, xyz, grid, cfg)
     pnt_mask = sample_pidx >= 0
     # Rays whose shading points found zero neighbors drop out of the mask
     # (reference :715-717).

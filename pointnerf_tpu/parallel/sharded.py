@@ -1,0 +1,354 @@
+"""Point-sharded, ray-data-parallel training over a (dp, mp) mesh.
+
+TPU-native redesign of the reference's parallelism (SURVEY.md §2.3):
+DataParallel scatter/gather (neural_points_volumetric_model.py:173-176) and
+NCCL DDP gradient all-reduce (train_ddp.py:632-669) become explicit XLA
+collectives under `jax.shard_map`:
+
+  - rays are sharded over `dp`; MLP gradients are `pmean`ed over the mesh.
+  - the neural point cloud (and its occupancy grid + Adam state) is sharded
+    over `mp`. Each mp-shard runs the voxel KNN against its local points for
+    its dp-shard's full ray set, gathers the K best local candidates with
+    payloads, then a single `all_to_all` redistributes candidates so each
+    shard holds all shards' candidates for 1/mp of the rays. A global top-K
+    over the mp*K merged candidates reproduces the unsharded KNN exactly
+    (points are disjoint across shards), and shading proceeds on rays split
+    dp*mp ways — both memory (N) and compute (rays) scale with the mesh.
+  - shading-point selection needs the occupancy of the *union* cloud; the
+    union is psum-reduced once at grid-build time, not per step.
+
+Gradients flow through the all_to_all (its transpose is the reverse
+all_to_all), so point-attribute updates land on the owning shard with no
+extra communication.
+
+Sharded-KNN parity note: with `shell_layered=False` the merged top-K equals
+the unsharded top-K exactly (up to distance ties / per-voxel bucket caps —
+each shard's buckets hold up to P points, so the merged pool can see up to
+mp*P per voxel, a strict superset). With `shell_layered=True` the CUDA-style
+shell cutoff is evaluated per shard against local candidate counts, so the
+merged set can include slightly farther candidates than a single-device run —
+a quality-neutral deviation, documented here per SURVEY.md §7 ("parity =
+same distance multiset").
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..camera import w2pers
+from ..config import PointNeRFConfig
+from ..models.losses import compute_losses, mse2psnr
+from ..models.points import (DEAD_XYZ, PointCloud, SampledPoints,
+                             gather_points, make_point_cloud, round_capacity)
+from ..models.renderer import RayBatch, RenderOutput, shade
+from ..ops.grid import PointGrid, build_grid, grid_meta
+from ..ops.query import (RAY_GENERATORS, knn_query, select_shading_points)
+from ..train.optim import apply_grad_flags, make_optimizer
+from ..train.step import TrainState
+
+
+class ShardedScene(NamedTuple):
+    """Sharded companion state: per-shard grids + replicated union occupancy.
+
+    Leaves with a leading [mp] axis are sharded over the mesh's mp axis."""
+    num_active: jnp.ndarray   # [mp] int32 — live points per shard
+    Rw2c: jnp.ndarray         # [3, 3] replicated
+    vox_slot: jnp.ndarray     # [mp, G] int32 — per-shard voxel -> bucket slot
+    bucket_pnt: jnp.ndarray   # [mp, max_o, P] int32 — per-shard point buckets
+    bucket_cnt: jnp.ndarray   # [mp, max_o] int32
+    occ_union: jnp.ndarray    # [G] int8 — union dilated occupancy (replicated)
+
+
+SCENE_SPECS = ShardedScene(
+    num_active=P("mp"), Rw2c=P(), vox_slot=P("mp"), bucket_pnt=P("mp"),
+    bucket_cnt=P("mp"), occ_union=P())
+
+
+def partition_points(xyz: np.ndarray, key, cfg: PointNeRFConfig, mp: int,
+                     features: Optional[np.ndarray] = None,
+                     color: Optional[np.ndarray] = None,
+                     dirs: Optional[np.ndarray] = None,
+                     conf: Optional[np.ndarray] = None,
+                     capacity_per_shard: Optional[int] = None,
+                     ) -> Tuple[PointCloud, jnp.ndarray]:
+    """Round-robin partition of a raw cloud into mp equal shards.
+
+    Returns (PointCloud with [mp, cap_s, ...] leaves, num_active [mp]).
+    Round-robin (point i -> shard i % mp) load-balances spatially sorted
+    input clouds across shards."""
+    n = xyz.shape[0]
+    per = [np.arange(j, n, mp) for j in range(mp)]
+    cap = capacity_per_shard or round_capacity(max(len(p) for p in per))
+    keys = jax.random.split(key, mp)
+
+    shards, counts = [], []
+    for j in range(mp):
+        sel = per[j]
+        pc_j, st_j = make_point_cloud(
+            xyz[sel], keys[j], cfg.points, cfg.agg.point_features_dim,
+            features=None if features is None else features[sel],
+            color=None if color is None else color[sel],
+            dirs=None if dirs is None else dirs[sel],
+            conf=None if conf is None else conf[sel],
+            capacity=cap)
+        shards.append(pc_j)
+        counts.append(int(st_j.num_active))
+    pc = jax.tree.map(lambda *xs: jnp.stack(xs), *shards)
+    return pc, jnp.asarray(counts, jnp.int32)
+
+
+def build_sharded_scene(pc: PointCloud, num_active: jnp.ndarray,
+                        cfg: PointNeRFConfig, mesh: Mesh,
+                        Rw2c: Optional[jnp.ndarray] = None) -> ShardedScene:
+    """Build per-shard occupancy grids + the union occupancy, under shard_map.
+
+    Rebuild only on point-set change (prune/grow) — the reference rebuilds
+    every iteration (query_point_indices_worldcoords.py:626)."""
+    if Rw2c is None:
+        Rw2c = jnp.eye(3, dtype=jnp.float32)
+
+    def builder(xyz_s, num_s):
+        grid = build_grid(xyz_s[0], num_s[0], cfg.query)
+        # Union occupancy across point shards (int32 psum; int8 could overflow)
+        occ_union = (jax.lax.psum(grid.vox_occ.astype(jnp.int32), "mp") > 0
+                     ).astype(jnp.int8)
+        return (grid.vox_slot[None], grid.bucket_pnt[None],
+                grid.bucket_cnt[None], occ_union)
+
+    vox_slot, bucket_pnt, bucket_cnt, occ_union = jax.jit(jax.shard_map(
+        builder, mesh=mesh, in_specs=(P("mp"), P("mp")),
+        out_specs=(P("mp"), P("mp"), P("mp"), P())))(pc.xyz, num_active)
+    return ShardedScene(num_active=num_active, Rw2c=Rw2c, vox_slot=vox_slot,
+                        bucket_pnt=bucket_pnt, bucket_cnt=bucket_cnt,
+                        occ_union=occ_union)
+
+
+def _a2a(x, mp: int):
+    """Redistribute per-ray KNN candidates: split rays over mp, concat the
+    candidate (K) axis. Identity when mp == 1."""
+    if mp == 1:
+        return x
+    return jax.lax.all_to_all(x, "mp", split_axis=0, concat_axis=2, tiled=True)
+
+
+def _render_local(mlp_params, pc_local: PointCloud, scene_local: PointGrid,
+                  num_active_local, Rw2c, batch: RayBatch,
+                  cfg: PointNeRFConfig, key, train: bool, mp: int,
+                  prob: bool = False, compute_dtype=jnp.float32
+                  ) -> Tuple[RenderOutput, jnp.ndarray]:
+    """Per-device forward: local KNN -> all_to_all merge -> shade 1/mp rays.
+
+    Returns (RenderOutput over R_local/mp rays, matching gt slice)."""
+    q = cfg.query
+    meta = grid_meta(q)
+    Rl = batch.raydir.shape[0]
+    assert Rl % mp == 0, f"rays per dp shard ({Rl}) must divide by mp ({mp})"
+
+    # 1. Ray generation — the key is replicated over mp, so all point shards
+    # see identical jittered sample positions for their dp-shard's rays.
+    gen = RAY_GENERATORS["near_far_disparity_linear" if q.inverse > 0
+                         else "near_far_linear"]
+    jitter = cfg.render.train_jitter if train else 0.0
+    raypos, _seg, _t = gen(batch.campos, batch.raydir, q.z_depth_dim,
+                           float(cfg.render.near_plane),
+                           float(cfg.render.far_plane),
+                           jitter=jitter, key=key)
+
+    # 2. Shading-point selection against the UNION occupancy.
+    sample_loc_w, sample_mask = select_shading_points(
+        raypos, scene_local, meta, q.SR)
+
+    # 3. Local KNN (per-shard grid + points) over the full local ray set.
+    pidx, d2 = knn_query(sample_loc_w, sample_mask, pc_local.xyz,
+                         scene_local, q)
+
+    # 4. Gather local payloads, then exchange candidates.
+    xyz_pers = w2pers(pc_local.xyz, batch.camrotc2w, batch.campos)
+    sp = gather_points(pc_local, xyz_pers, pidx)       # [Rl, SR, K, *]
+
+    merged = SampledPoints(
+        xyz=_a2a(sp.xyz, mp), xyz_pers=_a2a(sp.xyz_pers, mp),
+        features=_a2a(sp.features, mp), conf=_a2a(sp.conf, mp),
+        color=_a2a(sp.color, mp), dirs=_a2a(sp.dirs, mp),
+        mask=sp.mask)                                  # mask recomputed below
+    d2m = _a2a(jnp.where(sp.mask, d2, jnp.inf), mp)    # [Rl/mp, SR, mp*K]
+
+    # 5. Global top-K over the merged mp*K candidates (points are disjoint
+    # across shards, so this equals the unsharded KNN result).
+    if mp > 1:
+        neg, sel = jax.lax.top_k(-d2m, q.K)            # [Rl/mp, SR, K]
+        d2_top = -neg
+
+        def take(a):
+            return jnp.take_along_axis(a, sel[..., None], axis=2)
+        merged = SampledPoints(
+            xyz=take(merged.xyz), xyz_pers=take(merged.xyz_pers),
+            features=take(merged.features), conf=take(merged.conf),
+            color=take(merged.color), dirs=take(merged.dirs),
+            mask=jnp.isfinite(d2_top))
+    else:
+        merged = merged._replace(mask=jnp.isfinite(d2m))
+
+    # 6. This shard shades ray block `my` of its dp-shard's rays.
+    rs = Rl // mp
+    my = jax.lax.axis_index("mp") if mp > 1 else 0
+
+    def blk(a):
+        return jax.lax.dynamic_slice_in_dim(a, my * rs, rs, axis=0)
+    loc_w = blk(sample_loc_w)
+    # Refine the slot mask by "has >=1 neighbor" exactly like query_points
+    # (ops/query.py): empty slots must zero sample_loc or their z leaks into
+    # the cummax-based ray_dist of later valid slots.
+    loc_m = blk(sample_mask) & jnp.any(merged.mask, axis=-1)
+    raydir_b = blk(batch.raydir)
+    gt_b = blk(batch.gt_image) if batch.gt_image is not None else None
+
+    sample_loc = w2pers(loc_w, batch.camrotc2w, batch.campos)
+    sample_loc = jnp.where(loc_m[..., None], sample_loc, 0.0)
+    ray_dirs = jnp.broadcast_to(raydir_b[:, None, :], loc_w.shape)
+
+    out = shade(mlp_params, cfg, merged, sample_loc, loc_w, ray_dirs, Rw2c,
+                prob=prob, compute_dtype=compute_dtype)
+    return out, gt_b
+
+
+def _squeeze0(tree):
+    return jax.tree.map(lambda x: x[0], tree)
+
+
+def _local_grid(scene_leaves) -> PointGrid:
+    num_active, Rw2c, vox_slot, bucket_pnt, bucket_cnt, occ_union = scene_leaves
+    return PointGrid(vox_slot=vox_slot[0], vox_occ=occ_union,
+                     bucket_pnt=bucket_pnt[0], bucket_cnt=bucket_cnt[0],
+                     num_occ=jnp.asarray(0, jnp.int32))
+
+
+def make_sharded_train_step(cfg: PointNeRFConfig, mesh: Mesh):
+    """Build the jitted multi-chip training step.
+
+    State layout: params['mlp'] replicated; params['points'] leaves
+    [mp, cap_s, ...] sharded over mp (Adam state follows params, sharded by
+    construction since optax state mirrors the param pytree)."""
+    dp, mp = mesh.shape["dp"], mesh.shape["mp"]
+    tx = make_optimizer(cfg)
+
+    def device_grads(params, scene: ShardedScene, batch: RayBatch, key):
+        grid = _local_grid(scene)
+        Rw2c = scene.Rw2c
+
+        def local_loss(p):
+            pc_local = _squeeze0(p["points"])
+            out, gt = _render_local(p["mlp"], pc_local, grid,
+                                    scene.num_active[0], Rw2c, batch, cfg,
+                                    key, train=True, mp=mp)
+            total, items = compute_losses(out, gt, cfg.loss)
+            items["mse"] = jnp.mean((out.coarse_raycolor - gt) ** 2)
+            return total, items
+
+        (total, items), grads = jax.value_and_grad(
+            local_loss, has_aux=True)(params)
+        # Global loss L = pmean over all (dp, mp) shards of the local loss
+        # (each shard owns a disjoint, equal-size ray block). MLP params are
+        # replicated: grad(L) = pmean of local grads. Point grads arrive on
+        # the owning shard through the all_to_all transpose already summed
+        # over mp consumers, so only the 1/(dp*mp) loss normalization and the
+        # dp-replica mean remain.
+        g_mlp = jax.tree.map(lambda g: jax.lax.pmean(g, ("dp", "mp")),
+                             grads["mlp"])
+        g_pts = jax.tree.map(lambda g: jax.lax.pmean(g, "dp") / mp,
+                             grads["points"])
+        total = jax.lax.pmean(total, ("dp", "mp"))
+        items = jax.tree.map(lambda v: jax.lax.pmean(v, ("dp", "mp")), items)
+        return {"mlp": g_mlp, "points": g_pts}, total, items
+
+    grads_sm = jax.shard_map(
+        device_grads, mesh=mesh,
+        in_specs=({"mlp": P(), "points": P("mp")}, SCENE_SPECS,
+                  RayBatch(campos=P(), camrotc2w=P(), raydir=P("dp"),
+                           pixel_idx=P("dp"), near=P(), far=P(),
+                           gt_image=P("dp")),
+                  P()),
+        out_specs=({"mlp": P(), "points": P("mp")}, P(), P()),
+        check_vma=False)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state: TrainState, scene: ShardedScene, batch: RayBatch):
+        key, sub = jax.random.split(state.key)
+        grads, total, items = grads_sm(state.params, scene, batch, sub)
+        grads["points"] = apply_grad_flags(grads["points"], cfg.points)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        items["loss_total"] = total
+        items["psnr"] = mse2psnr(items.pop("mse"))
+        return TrainState(params=new_params, opt_state=new_opt,
+                          step=state.step + 1, key=key), items
+
+    return step
+
+
+def make_sharded_eval_step(cfg: PointNeRFConfig, mesh: Mesh,
+                           prob: bool = False):
+    """Jitted multi-chip inference: returns the full RenderOutput with the ray
+    axis re-assembled across (dp, mp)."""
+    dp, mp = mesh.shape["dp"], mesh.shape["mp"]
+
+    def device_eval(params, scene: ShardedScene, batch: RayBatch):
+        grid = _local_grid(scene)
+        pc_local = _squeeze0(params["points"])
+        out, _gt = _render_local(params["mlp"], pc_local, grid,
+                                 scene.num_active[0], scene.Rw2c, batch, cfg,
+                                 key=None, train=False, mp=mp, prob=prob)
+        return out
+
+    # Spec tree must mirror the output: None in the prob-only slots when the
+    # probe outputs are disabled (None is an empty subtree on both sides).
+    n_core = 9  # always-present RenderOutput fields
+    n_prob = len(RenderOutput._fields) - n_core
+    out_specs = RenderOutput(*([P(("dp", "mp"))] * n_core),
+                             *([P(("dp", "mp")) if prob else None] * n_prob))
+    eval_sm = jax.shard_map(
+        device_eval, mesh=mesh,
+        in_specs=({"mlp": P(), "points": P("mp")}, SCENE_SPECS,
+                  RayBatch(campos=P(), camrotc2w=P(), raydir=P("dp"),
+                           pixel_idx=P("dp"), near=P(), far=P(),
+                           gt_image=P("dp"))),
+        out_specs=out_specs, check_vma=False)
+
+    @jax.jit
+    def step(params, scene: ShardedScene, batch: RayBatch):
+        if batch.gt_image is None:
+            batch = batch._replace(
+                gt_image=jnp.zeros((batch.raydir.shape[0], 3), jnp.float32))
+        return eval_sm(params, scene, batch)
+
+    return step
+
+
+def create_sharded_train_state(key, agg_params, pc: PointCloud,
+                               scene: ShardedScene, cfg: PointNeRFConfig,
+                               mesh: Mesh) -> Tuple[TrainState, ShardedScene]:
+    """Place params/scene on the mesh and init the optimizer *under jit* so
+    the Adam state inherits the param shardings (mp-sharded point moments,
+    replicated MLP moments) through XLA sharding propagation."""
+    def put(tree, spec_tree):
+        return jax.tree.map(
+            lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+            tree, spec_tree)
+
+    params = {"mlp": agg_params, "points": pc}
+    pspec = {"mlp": jax.tree.map(lambda _: P(), agg_params),
+             "points": jax.tree.map(lambda _: P("mp"), pc)}
+    params = put(params, pspec)
+    scene2 = put(scene, SCENE_SPECS)
+    tx = make_optimizer(cfg)
+    opt_state = jax.jit(tx.init)(params)
+    rep = NamedSharding(mesh, P())
+    return TrainState(params=params, opt_state=opt_state,
+                      step=jax.device_put(jnp.asarray(0, jnp.int32), rep),
+                      key=jax.device_put(key, rep)), scene2

@@ -1,0 +1,196 @@
+"""Per-scene optimization driver — the `run/train_ft.py` equivalent.
+
+One process, no restart loop: the reference wraps training in a bash loop
+and exits after every grow event (lego.sh:163, train_ft.py:918); here
+prune/grow are in-place (train/grow.py) and the jit caches survive because
+point arrays live in fixed-capacity buckets.
+
+Loop schedule mirrors train_ft.py:836-1005:
+  - every `prune_iter` steps in (0, prune_max_iter]: confidence prune
+  - every `prob_freq` steps: probe-hole growing over probe frames
+  - every `test_freq`: full-frame eval with PSNR/SSIM
+  - every `save_iter_freq`: checkpoint
+Run `python -m pointnerf_tpu.train.driver --demo` for a CPU-sized synthetic
+end-to-end run.
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import time
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import PointNeRFConfig, bench_config, tiny_test_config
+from ..data.synthetic import ring_cameras, sphere_scene, view_ray_batch
+from ..models.aggregator import init_aggregator_params
+from ..models.points import make_point_cloud
+from ..models.renderer import RayBatch
+from ..utils.metrics import psnr as psnr_np, ssim as ssim_np
+from ..utils.visualizer import Visualizer
+from .checkpoint import latest_checkpoint, load_checkpoint, save_checkpoint
+from .grow import apply_grow, apply_prune, probe_hole, render_full_frame
+from .step import (TrainState, create_train_state, eval_step, refresh_grid,
+                   train_step)
+
+
+def _to_batch(item: Dict, cfg: PointNeRFConfig) -> RayBatch:
+    return RayBatch(
+        campos=jnp.asarray(item["campos"]),
+        camrotc2w=jnp.asarray(item["camrotc2w"]),
+        raydir=jnp.asarray(item["raydir"]),
+        pixel_idx=jnp.asarray(item["pixel_idx"], jnp.int32),
+        near=jnp.asarray(cfg.render.near_plane, jnp.float32),
+        far=jnp.asarray(cfg.render.far_plane, jnp.float32),
+        gt_image=jnp.asarray(item["gt_image"]))
+
+
+def evaluate(params, st, grid, cfg, items: List[Dict], wh, vis: Visualizer,
+             step: int, save_images: bool = False) -> Dict[str, float]:
+    """Full-frame test pass (reference test(), run/train_ft.py:255-409)."""
+    W, H = wh
+    psnrs, ssims = [], []
+    for i, item in enumerate(items):
+        maps = render_full_frame(params, st, grid, cfg, item, wh, prob=False)
+        img = maps["coarse_raycolor"][..., :3]
+        gt = np.zeros((H, W, 3), np.float32)
+        pix = np.asarray(item["pixel_idx"], np.int64)
+        gt[pix[:, 1], pix[:, 0]] = np.asarray(item["gt_image"], np.float32)
+        psnrs.append(psnr_np(img, gt))
+        ssims.append(ssim_np(img, gt))
+        if save_images:
+            vis.save_image(img, f"step{step:08d}-{i:02d}.png")
+    return {"psnr": float(np.mean(psnrs)), "ssim": float(np.mean(ssims))}
+
+
+def train_scene(cfg: PointNeRFConfig,
+                scene_pts: Tuple[np.ndarray, np.ndarray, np.ndarray],
+                train_items_fn, test_items: List[Dict],
+                probe_items: List[Dict], wh: Tuple[int, int],
+                run_dir: str = "runs/scene", max_steps: Optional[int] = None,
+                resume: bool = False, log_every: Optional[int] = None,
+                target_psnr: Optional[float] = None):
+    """Optimize one scene. `train_items_fn(step)` yields a ray-batch item.
+
+    Returns (state, st, history dict)."""
+    xyz, color, normals = scene_pts
+    vis = Visualizer(run_dir, name=os.path.basename(run_dir))
+    vis.save_options(cfg.to_json())
+
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(cfg.train.seed), 3)
+    pc, st = make_point_cloud(xyz, k1, cfg.points, cfg.agg.point_features_dim,
+                              color=color, dirs=normals)
+    params = init_aggregator_params(k2, cfg.agg)
+    state = create_train_state(k3, params, pc, cfg)
+
+    if resume:
+        path = latest_checkpoint(run_dir)
+        if path:
+            state, meta = load_checkpoint(path, state)
+            n_active = meta.get("num_active")
+            if n_active is not None:
+                st = st._replace(num_active=jnp.asarray(n_active, jnp.int32))
+            print(f"resumed from {path} at step {int(state.step)}")
+
+    grid = refresh_grid(state.params["points"], st, cfg)
+    max_steps = max_steps or cfg.train.maximum_step
+    log_every = log_every or cfg.train.print_freq
+    t = cfg.train
+    history = {"loss": [], "eval": []}
+    t0 = time.time()
+
+    step_i = int(state.step)
+    while step_i < max_steps:
+        step_i += 1
+        # ---- prune (train_ft.py:841-849) -------------------------------
+        if (t.prune_iter > 0 and step_i % t.prune_iter == 0
+                and step_i <= t.prune_max_iter):
+            state, st, kept = apply_prune(state, st, cfg)
+            grid = refresh_grid(state.params["points"], st, cfg)
+            print(f"[prune] step {step_i}: kept {kept} points")
+        # ---- grow (train_ft.py:851-918) --------------------------------
+        if t.prob_freq > 0 and step_i % t.prob_freq == 0 and probe_items:
+            cand = probe_hole(state.params, st, grid, cfg, probe_items, wh)
+            state, st, added = apply_grow(state, st, cand, cfg)
+            grid = refresh_grid(state.params["points"], st, cfg)
+            print(f"[grow] step {step_i}: +{added} points "
+                  f"(total {int(st.num_active)})")
+
+        batch = _to_batch(train_items_fn(step_i), cfg)
+        state, items = train_step(state, st, grid, batch, cfg)
+        vis.accumulate_losses({k: v for k, v in items.items()})
+
+        if step_i % log_every == 0:
+            means = vis.print_losses(step_i)
+            history["loss"].append((step_i, means.get("loss_total", 0.0)))
+        if t.test_freq > 0 and step_i % t.test_freq == 0 and test_items:
+            m = evaluate(state.params, st, grid, cfg, test_items, wh, vis,
+                         step_i, save_images=True)
+            m["step"] = step_i
+            m["wall_s"] = time.time() - t0
+            history["eval"].append(m)
+            print(f"[eval] step {step_i}: psnr={m['psnr']:.2f} "
+                  f"ssim={m['ssim']:.4f} t={m['wall_s']:.0f}s")
+            if target_psnr is not None and m["psnr"] >= target_psnr:
+                print(f"[done] reached target PSNR {target_psnr}")
+                break
+        if t.save_iter_freq > 0 and step_i % t.save_iter_freq == 0:
+            save_checkpoint(run_dir, state,
+                            {"num_active": int(st.num_active)})
+    save_checkpoint(run_dir, state, {"num_active": int(st.num_active)})
+    return state, st, history
+
+
+def demo(steps: int = 300, n_pts: int = 2048, wh=(64, 64),
+         run_dir: str = "runs/demo"):
+    """CPU-sized end-to-end: synthetic sphere, analytic GT, a few hundred
+    steps, prune+grow exercised once each."""
+    cfg = tiny_test_config()
+    cfg = cfg.replace(train=dataclasses.replace(
+        cfg.train, maximum_step=steps, prune_iter=max(steps // 2, 1),
+        prune_max_iter=steps, prob_freq=max(steps // 2 + 1, 1),
+        test_freq=max(steps // 2, 1), print_freq=50, save_iter_freq=steps,
+        random_sample_size=16))
+    xyz, color, normals = sphere_scene(n_pts=n_pts)
+    views = ring_cameras(n_views=6, wh=wh, focal=float(wh[0]))
+    rng = np.random.RandomState(0)
+
+    def train_item(step):
+        campos, rot, K = views[rng.randint(0, len(views) - 1)]
+        return view_ray_batch(campos, rot, K, wh,
+                              n_rays=cfg.train.random_sample_size ** 2,
+                              seed=step)
+
+    test_items = [view_ray_batch(*views[-1], wh)]
+    probe_items = [view_ray_batch(*views[0], wh)]
+    state, st, hist = train_scene(
+        cfg, (xyz, color, normals), train_item, test_items, probe_items, wh,
+        run_dir=run_dir, max_steps=steps)
+    print("final eval:", hist["eval"][-1] if hist["eval"] else "(none)")
+    return hist
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--demo", action="store_true")
+    ap.add_argument("--steps", type=int, default=300)
+    ap.add_argument("--run-dir", default="runs/demo")
+    ap.add_argument("--platform", default=None,
+                    help="cpu|axon — overrides the sitecustomize-baked "
+                         "JAX platform")
+    args = ap.parse_args()
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    if args.demo:
+        demo(steps=args.steps, run_dir=args.run_dir)
+    else:
+        ap.error("only --demo is wired up; use train_scene() from code for "
+                 "real datasets")
+
+
+if __name__ == "__main__":
+    main()

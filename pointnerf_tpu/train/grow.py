@@ -1,0 +1,191 @@
+"""Point pruning & hole-probing growth.
+
+Reimplements the reference's per-scene point maintenance:
+ - prune: drop low-confidence points every `prune_iter` steps
+   (run/train_ft.py:841-849 -> NeuralPoints.prune, neural_points.py:350-373).
+ - grow: every `prob_freq` steps, render probe frames with the prob outputs
+   on, find rays that MISS the cloud but have non-background ground truth,
+   dilate that miss mask by 1px, and add new points at the neighboring rays'
+   max-opacity sample locations with weighted-average payloads
+   (run/train_ft.py:420-533 `probe_hole` + `bloat_inds`:535-543).
+
+The reference restarts the whole process after growing (exit() at
+train_ft.py:918 + the bash loop lego.sh:163) because torch optimizers can't
+survive a shape change. Here point arrays live in fixed-capacity buckets
+(models/points.py), so growth is in-place; like the reference restart, the
+Adam state is re-initialized afterwards, with the schedule count
+fast-forwarded to the current step (the reference fast-forwards schedulers
+the same way, train_ft.py:790-793).
+"""
+from __future__ import annotations
+
+from typing import Callable, Dict, List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import PointNeRFConfig
+from ..models.points import (DEAD_XYZ, PointCloud, PointCloudStatic, grow,
+                             prune, round_capacity)
+from ..models.renderer import RayBatch
+from .optim import make_optimizer
+from .step import TrainState, eval_step, refresh_grid
+
+
+class ProbeCandidates(NamedTuple):
+    xyz: np.ndarray        # [M, 3]
+    embedding: np.ndarray  # [M, F]
+    color: np.ndarray      # [M, 3]
+    dirs: np.ndarray       # [M, 3]
+    conf: np.ndarray       # [M, 1]
+
+
+def render_full_frame(params, st, grid, cfg: PointNeRFConfig, item: Dict,
+                      wh: Tuple[int, int], chunk: int = 2304,
+                      prob: bool = True) -> Dict[str, np.ndarray]:
+    """Chunked full-image render assembling H x W maps of the probe outputs
+    (reference chunk loop train_ft.py:286-323 / probe loop :476-497)."""
+    W, H = wh
+    raydir = np.asarray(item["raydir"], np.float32)
+    pix = np.asarray(item["pixel_idx"], np.int64)
+    total = raydir.shape[0]
+    maps: Dict[str, np.ndarray] = {}
+    keys = ["coarse_raycolor", "ray_mask", "ray_max_sample_loc_w",
+            "ray_max_far_dist", "ray_max_shading_opacity",
+            "shading_avg_color", "shading_avg_dir", "shading_avg_conf",
+            "shading_avg_embedding"] if prob else ["coarse_raycolor",
+                                                   "ray_mask"]
+    for s in range(0, total, chunk):
+        e = min(s + chunk, total)
+        rd = raydir[s:e]
+        pad = chunk - rd.shape[0]
+        if pad:
+            rd = np.concatenate([rd, np.zeros((pad, 3), np.float32)])
+        batch = RayBatch(
+            campos=jnp.asarray(item["campos"]),
+            camrotc2w=jnp.asarray(item["camrotc2w"]),
+            raydir=jnp.asarray(rd),
+            pixel_idx=jnp.zeros((chunk, 2), jnp.int32),
+            near=jnp.asarray(cfg.render.near_plane, jnp.float32),
+            far=jnp.asarray(cfg.render.far_plane, jnp.float32),
+            gt_image=None)
+        out = eval_step(params, st, grid, batch, cfg, prob=prob)
+        n = e - s
+        px, py = pix[s:e, 0], pix[s:e, 1]
+        for k in keys:
+            v = getattr(out, k)
+            if v is None:
+                continue
+            v = np.asarray(v)[:n]
+            if v.ndim == 1:
+                v = v[:, None]
+            if k not in maps:
+                maps[k] = np.zeros((H, W, v.shape[-1]), v.dtype)
+            maps[k][py, px] = v
+    return maps
+
+
+def _dilate3(mask: np.ndarray) -> np.ndarray:
+    """3x3 binary dilation (bloat_inds with shift=1, train_ft.py:535-543)."""
+    out = mask.copy()
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            out |= np.roll(np.roll(mask, dy, axis=0), dx, axis=1)
+    return out
+
+
+def probe_hole(params, st, grid, cfg: PointNeRFConfig, items: List[Dict],
+               wh: Tuple[int, int], bg_color=None,
+               chunk: int = 2304) -> ProbeCandidates:
+    """Scan probe frames for holes; returns grow candidates
+    (train_ft.py:420-533 semantics)."""
+    W, H = wh
+    bg = np.asarray(bg_color if bg_color is not None else cfg.render.bg_color,
+                    np.float32)
+    adds = {k: [] for k in ("xyz", "embedding", "color", "dirs", "conf")}
+    for item in items:
+        maps = render_full_frame(params, st, grid, cfg, item, wh, chunk,
+                                 prob=True)
+        gt = np.zeros((H, W, 3), np.float32)
+        pix = np.asarray(item["pixel_idx"], np.int64)
+        gt[pix[:, 1], pix[:, 0]] = np.asarray(item["gt_image"], np.float32)
+
+        ray_mask = maps["ray_mask"][..., 0] > 0
+        # rays the query missed but whose GT is not background
+        miss = (~ray_mask) & (np.linalg.norm(gt - bg, axis=-1) > 0.002)
+        neighboring = _dilate3(miss)
+        # grow at HIT rays adjacent to misses whose peak opacity is confident
+        sel = (ray_mask & neighboring
+               & (maps["ray_max_shading_opacity"][..., 0] > cfg.train.prob_thresh))
+        if not sel.any():
+            continue
+        adds["xyz"].append(maps["ray_max_sample_loc_w"][sel])
+        adds["embedding"].append(maps["shading_avg_embedding"][sel])
+        adds["color"].append(maps["shading_avg_color"][sel])
+        adds["dirs"].append(maps["shading_avg_dir"][sel])
+        adds["conf"].append(maps["shading_avg_conf"][sel] * cfg.train.prob_mul)
+
+    def cat(k, d):
+        return (np.concatenate(adds[k]).astype(np.float32) if adds[k]
+                else np.zeros((0, d), np.float32))
+    F = cfg.agg.point_features_dim
+    return ProbeCandidates(xyz=cat("xyz", 3), embedding=cat("embedding", F),
+                           color=cat("color", 3), dirs=cat("dirs", 3),
+                           conf=cat("conf", 1))
+
+
+def _reinit_opt_state(params, cfg: PointNeRFConfig, step: jnp.ndarray):
+    """Fresh Adam state with the lr-schedule count fast-forwarded to `step`
+    (reference scheduler fast-forward, train_ft.py:790-793)."""
+    tx = make_optimizer(cfg)
+    opt_state = tx.init(params)
+    # `step + 0` (not asarray) so every count leaf gets its OWN buffer —
+    # aliased leaves break the train step's donation (same buffer donated
+    # twice in one Execute).
+    return jax.tree.map(
+        lambda x: (step.astype(x.dtype) + jnp.zeros((), x.dtype)
+                   if (hasattr(x, "ndim") and x.ndim == 0
+                       and jnp.issubdtype(x.dtype, jnp.integer)) else x),
+        opt_state)
+
+
+def apply_prune(state: TrainState, st: PointCloudStatic,
+                cfg: PointNeRFConfig) -> Tuple[TrainState, PointCloudStatic, int]:
+    """Drop conf <= prune_thresh points, repack, reset+fast-forward Adam."""
+    pc2, st2, kept = prune(state.params["points"], st, cfg.train.prune_thresh)
+    params = dict(state.params, points=pc2)
+    opt_state = _reinit_opt_state(params, cfg, state.step)
+    return (TrainState(params=params, opt_state=opt_state, step=state.step,
+                       key=state.key), st2, int(kept))
+
+
+def apply_grow(state: TrainState, st: PointCloudStatic,
+               cand: ProbeCandidates, cfg: PointNeRFConfig
+               ) -> Tuple[TrainState, PointCloudStatic, int]:
+    """Append probe candidates, re-bucketing capacity if needed."""
+    pc: PointCloud = state.params["points"]
+    n_new = cand.xyz.shape[0]
+    needed = int(st.num_active) + n_new
+    if needed > pc.capacity:
+        new_cap = round_capacity(needed)
+
+        def repad(a, fill):
+            out = jnp.full((new_cap,) + a.shape[1:], fill, a.dtype)
+            return out.at[: a.shape[0]].set(a)
+        pc = PointCloud(xyz=repad(pc.xyz, DEAD_XYZ),
+                        features=repad(pc.features, 0.0),
+                        conf=repad(pc.conf, 0.0), color=repad(pc.color, 0.0),
+                        dirs=repad(pc.dirs, 0.0))
+    if n_new:
+        pc, st, added = grow(pc, st, jnp.asarray(cand.xyz),
+                             jnp.asarray(cand.embedding),
+                             jnp.asarray(cand.conf), jnp.asarray(cand.color),
+                             jnp.asarray(cand.dirs))
+        added = int(added)
+    else:
+        added = 0
+    params = dict(state.params, points=pc)
+    opt_state = _reinit_opt_state(params, cfg, state.step)
+    return (TrainState(params=params, opt_state=opt_state, step=state.step,
+                       key=state.key), st, added)

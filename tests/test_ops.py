@@ -84,8 +84,9 @@ def test_knn_matches_oracle(shell):
 
     centers = rng.uniform(-0.8, 0.8, (4, 7, 3)).astype(np.float32)  # [R,SR,3]
     mask = np.ones(centers.shape[:2], bool)
-    pidx = np.asarray(knn_query(jnp.asarray(centers), jnp.asarray(mask),
-                                jnp.asarray(xyz), grid, cfg))
+    pidx, _d2 = knn_query(jnp.asarray(centers), jnp.asarray(mask),
+                          jnp.asarray(xyz), grid, cfg)
+    pidx = np.asarray(pidx)
     r2 = cfg.radius_limit ** 2
     for r in range(centers.shape[0]):
         for s in range(centers.shape[1]):

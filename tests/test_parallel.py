@@ -1,0 +1,114 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh.
+
+Checks the point-sharded + ray-data-parallel path (parallel/sharded.py)
+against the single-device reference path for exact forward parity and for
+training progress. Mirrors the driver's dryrun_multichip contract.
+"""
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pointnerf_tpu.config import tiny_test_config
+from pointnerf_tpu.models.aggregator import init_aggregator_params
+from pointnerf_tpu.models.points import make_point_cloud
+from pointnerf_tpu.models.renderer import RayBatch
+from pointnerf_tpu.parallel import (build_sharded_scene,
+                                    create_sharded_train_state,
+                                    make_sharded_eval_step,
+                                    make_sharded_train_step, make_mesh,
+                                    partition_points)
+from pointnerf_tpu.train.step import eval_step, refresh_grid
+
+from test_render import make_batch, synthetic_scene
+
+
+def sharded_cfg():
+    cfg = tiny_test_config()
+    # shell_layered off for exact KNN parity between sharded/unsharded
+    # (see parallel/sharded.py module docstring); P large enough that
+    # per-voxel bucket caps never truncate in this scene.
+    return cfg.replace(query=dataclasses.replace(
+        cfg.query, shell_layered=False, P=128))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_eval_matches_unsharded():
+    cfg = sharded_cfg()
+    xyz, campos, camrot = synthetic_scene(n_pts=400)
+    key = jax.random.PRNGKey(0)
+    k1, k2 = jax.random.split(key)
+
+    # single-device reference
+    pc1, st1 = make_point_cloud(xyz, k1, cfg.points, cfg.agg.point_features_dim,
+                                capacity=512)
+    params = init_aggregator_params(k2, cfg.agg)
+    grid1 = refresh_grid(pc1, st1, cfg)
+    batch = make_batch(campos, camrot, R=64)
+    ref = eval_step({"mlp": params, "points": pc1}, st1, grid1, batch, cfg)
+
+    # sharded: same cloud partitioned over mp=2, rays over dp=4.
+    # partition_points must use the same per-point features as the reference
+    # cloud, so carry them over explicitly.
+    mesh = make_mesh(dp=4, mp=2)
+    feats = np.asarray(pc1.features[:400])
+    colors = np.asarray(pc1.color[:400])
+    dirs = np.asarray(pc1.dirs[:400])
+    conf = np.asarray(pc1.conf[:400])
+    pc_s, num_active = partition_points(xyz, k1, cfg, mp=2, features=feats,
+                                        color=colors, dirs=dirs, conf=conf)
+    scene = build_sharded_scene(pc_s, num_active, cfg, mesh)
+    state, scene = create_sharded_train_state(
+        jax.random.PRNGKey(9), params, pc_s, scene, cfg, mesh)
+    ev = make_sharded_eval_step(cfg, mesh)
+    out = ev(state.params, scene, batch)
+
+    np.testing.assert_array_equal(np.asarray(out.ray_mask),
+                                  np.asarray(ref.ray_mask))
+    np.testing.assert_allclose(np.asarray(out.coarse_raycolor),
+                               np.asarray(ref.coarse_raycolor),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out.coarse_point_opacity),
+                               np.asarray(ref.coarse_point_opacity),
+                               rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_training_reduces_loss():
+    cfg = sharded_cfg()
+    xyz, campos, camrot = synthetic_scene(n_pts=400)
+    mesh = make_mesh(dp=4, mp=2)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    pc_s, num_active = partition_points(xyz, k1, cfg, mp=2)
+    params = init_aggregator_params(k2, cfg.agg)
+    scene = build_sharded_scene(pc_s, num_active, cfg, mesh)
+    state, scene = create_sharded_train_state(
+        jax.random.PRNGKey(3), params, pc_s, scene, cfg, mesh)
+    step = make_sharded_train_step(cfg, mesh)
+    batch = make_batch(campos, camrot, R=64)
+    losses = []
+    for _ in range(30):
+        state, items = step(state, scene, batch)
+        losses.append(float(items["loss_total"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0] * 0.7, f"no learning: {losses[0]} -> {losses[-1]}"
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_dp_only_mesh():
+    """mp=1 degenerates to pure ray data-parallelism."""
+    cfg = sharded_cfg()
+    xyz, campos, camrot = synthetic_scene(n_pts=400)
+    mesh = make_mesh(dp=8, mp=1)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    pc_s, num_active = partition_points(xyz, k1, cfg, mp=1)
+    params = init_aggregator_params(k2, cfg.agg)
+    scene = build_sharded_scene(pc_s, num_active, cfg, mesh)
+    state, scene = create_sharded_train_state(
+        jax.random.PRNGKey(3), params, pc_s, scene, cfg, mesh)
+    step = make_sharded_train_step(cfg, mesh)
+    batch = make_batch(campos, camrot, R=64)
+    state, items = step(state, scene, batch)
+    assert np.isfinite(float(items["loss_total"]))
