@@ -243,6 +243,16 @@ def aggregate(params: Dict, cfg: AggregatorConfig, sp: SampledPoints,
     maskf = mask.astype(compute_dtype)
     ray_valid = jnp.any(mask, axis=-1)                   # [R, SR]
 
+    # Rw2c: [3,3] global rotation, or [R,SR,K,3,3] per-neighbor (editing:
+    # each composed part carries its own frame, neural_points.py:300-331).
+    per_point_rot = Rw2c is not None and Rw2c.ndim == 5
+
+    def rot_local(v):
+        """Rotate world-frame rows back into the point frame: v @ Rw2c^T."""
+        if per_point_rot:
+            return jnp.einsum("...c,...dc->...d", v, Rw2c.astype(v.dtype))
+        return v @ Rw2c.T.astype(v.dtype)
+
     dists = compute_dists(cfg, sp, sample_loc, sample_loc_w, sample_ray_dirs)
     dists = jnp.where(mask[..., None], dists, 0.0)
 
@@ -256,21 +266,32 @@ def aggregate(params: Dict, cfg: AggregatorConfig, sp: SampledPoints,
     # viewdirs: [R,SR,3] -> rotated, PE'd with ori split (viewmlp :506-512)
     viewdirs = sample_ray_dirs
     if Rw2c is not None:
-        viewdirs = viewdirs @ Rw2c.T  # viewdirs @ sampled_Rw2c (= Rw2c^T, ref :492,506)
+        if per_point_rot:
+            viewdirs = rot_local(jnp.broadcast_to(
+                viewdirs[..., None, :], (R, SR, K, 3)))   # [R,SR,K,3]
+        else:
+            viewdirs = rot_local(viewdirs)
     if cfg.num_viewdir_freqs > 0:
         vpe = positional_encoding(viewdirs, cfg.num_viewdir_freqs, ori=True)
         ori_viewdirs, viewdirs_pe = vpe[..., :3], vpe[..., 3:]
     else:
         ori_viewdirs, viewdirs_pe = viewdirs, viewdirs
+    if per_point_rot:
+        # the color branch runs at shading-point level: aggregate the
+        # per-neighbor rotated-viewdir PE with NORMALIZED weights (so a
+        # single part with identity rotation reproduces the global path
+        # exactly; deviation from the reference's broadcast, documented)
+        wn = w / jnp.clip(jnp.sum(w, axis=-2, keepdims=True), min=1e-8)
+        viewdirs_pe = jnp.sum(viewdirs_pe * wn, axis=-2)  # [R,SR,pe]
 
     # ---- per-point feature assembly ------------------------------------
     dists_flat = dists
     if cfg.dist_xyz_deno != 0.0:
         dists_flat = dists_flat / (cfg.dist_xyz_deno * float(jnp.linalg.norm(jnp.asarray(vsize))))
     if Rw2c is not None and cfg.dist_dim >= 3:
-        rot = Rw2c.T  # sampled_Rw2c = Rw2c.transpose(-1,-2), ref :492,526
+        # sampled_Rw2c = Rw2c.transpose(-1,-2), ref :492,526
         dists_flat = jnp.concatenate(
-            [dists_flat[..., :3] @ rot, dists_flat[..., 3:]], axis=-1)
+            [rot_local(dists_flat[..., :3]), dists_flat[..., 3:]], axis=-1)
     if cfg.dist_xyz_freq != 0:
         dists_enc = positional_encoding(dists_flat, abs(cfg.dist_xyz_freq))
     else:
@@ -310,8 +331,9 @@ def aggregate(params: Dict, cfg: AggregatorConfig, sp: SampledPoints,
         if cfg.point_dir_mode:
             sdir = jnp.where(mask[..., None], sp.dirs, 0.0)
             if Rw2c is not None:
-                sdir = sdir @ Rw2c.T  # sampled_dir @ sampled_Rw2c (ref :566)
-            ov = jnp.broadcast_to(ori_viewdirs[..., None, :], sdir.shape)
+                sdir = rot_local(sdir)  # sampled_dir @ sampled_Rw2c (ref :566)
+            ov = (ori_viewdirs if per_point_rot else
+                  jnp.broadcast_to(ori_viewdirs[..., None, :], sdir.shape))
             extras.append((sdir - ov).astype(compute_dtype))
             extras.append(jnp.sum(sdir * ov, -1, keepdims=True).astype(compute_dtype))
         if cfg.agg_intrp_order == 0:

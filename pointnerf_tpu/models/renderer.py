@@ -170,5 +170,9 @@ def render_rays(params: Dict, pc: PointCloud, st: PointCloudStatic,
 
     sample_ray_dirs = jnp.broadcast_to(batch.raydir[:, None, :],
                                        q.sample_loc_w.shape)
+    Rw2c = st.Rw2c
+    if Rw2c.ndim == 3:
+        # per-point rotations (editing composites): gather per neighbor
+        Rw2c = Rw2c[jnp.maximum(q.sample_pidx, 0)]      # [R,SR,K,3,3]
     return shade(params, cfg, sp, sample_loc, q.sample_loc_w, sample_ray_dirs,
-                 st.Rw2c, prob=prob, compute_dtype=compute_dtype)
+                 Rw2c, prob=prob, compute_dtype=compute_dtype)

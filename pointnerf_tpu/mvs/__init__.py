@@ -1,0 +1,3 @@
+from .mvsnet import MVSNet, FeatureNet, CostRegNet, depth_regression, homo_warp
+from .filter import check_geometric_consistency, filter_by_masks
+from .points_init import MvsPointsInit

@@ -145,6 +145,20 @@ def train_scene(cfg: PointNeRFConfig,
     return state, st, history
 
 
+def render_video(params, st, grid, cfg: PointNeRFConfig, items: List[Dict],
+                 wh: Tuple[int, int], run_dir: str, name: str = "spiral",
+                 fps: int = 24) -> str:
+    """Render a pose sequence to an mp4 (run/render_vid.py:26-133 — the
+    reference iterates get_dummyrot_item frames through the chunked test
+    renderer and stitches a video)."""
+    vis = Visualizer(run_dir, name=name)
+    frames = []
+    for item in items:
+        maps = render_full_frame(params, st, grid, cfg, item, wh, prob=False)
+        frames.append(np.clip(maps["coarse_raycolor"][..., :3], 0, 1))
+    return vis.gen_video(frames, name=name, fps=fps)
+
+
 def demo(steps: int = 300, n_pts: int = 2048, wh=(64, 64),
          run_dir: str = "runs/demo"):
     """CPU-sized end-to-end: synthetic sphere, analytic GT, a few hundred
@@ -171,12 +185,80 @@ def demo(steps: int = 300, n_pts: int = 2048, wh=(64, 64),
         cfg, (xyz, color, normals), train_item, test_items, probe_items, wh,
         run_dir=run_dir, max_steps=steps)
     print("final eval:", hist["eval"][-1] if hist["eval"] else "(none)")
+    # spiral video over the camera ring (render_vid.py equivalent)
+    grid = refresh_grid(state.params["points"], st, cfg)
+    vid_items = [view_ray_batch(*v, wh) for v in views[:4]]
+    path = render_video(state.params, st, grid, cfg, vid_items, wh,
+                        run_dir=run_dir)
+    print("video:", path)
     return hist
+
+
+def ff_demo(steps: int = 20, wh=(32, 32)):
+    """Feed-forward (generalization) demo: MVS -> points -> render, grads
+    into the MVS nets (run/train.py mode-0 equivalent on synthetic data)."""
+    import jax.numpy as jnp  # noqa: F811
+    from ..mvs.points_init import MvsPointsInit, init_mvs_points, view_proj_mats
+    from ..models.renderer import RayBatch as RB
+    from .feedforward import MVSBatch, create_ff_state, make_feedforward_step
+    from ..config import (AggregatorConfig, QueryConfig, RenderConfig,
+                          TrainConfig)
+
+    cfg = PointNeRFConfig(
+        query=QueryConfig(vsize=(0.1, 0.1, 0.1), vscale=(2.0, 2.0, 2.0),
+                          max_o=2048, P=8, K=4, SR=12, z_depth_dim=48,
+                          ranges=(-2.0, -2.0, -2.0, 2.0, 2.0, 2.0),
+                          knn_chunk=4096),
+        agg=AggregatorConfig(point_features_dim=8, shading_feature_num=32,
+                             num_feat_freqs=2, dist_xyz_freq=3,
+                             num_pos_freqs=4, num_viewdir_freqs=2),
+        render=RenderConfig(near_plane=2.0, far_plane=4.5))
+    V = 3
+    views = ring_cameras(n_views=V + 1, wh=wh, focal=float(wh[0]))
+    images, Ks, w2cs = [], [], []
+    for campos, rot, K in views[:V]:
+        item = view_ray_batch(campos, rot, K, wh)
+        images.append(item["gt_image"].reshape(wh[1], wh[0], 3))
+        Ks.append(K)
+        w2c = np.eye(4, dtype=np.float32)
+        w2c[:3, :3] = rot.T
+        w2c[:3, 3] = -rot.T @ campos
+        w2cs.append(w2c)
+    images, Ks, w2cs = np.stack(images), np.stack(Ks), np.stack(w2cs)
+
+    model = MvsPointsInit(point_features_dim=cfg.agg.point_features_dim)
+    variables = init_mvs_points(model, jax.random.PRNGKey(0), V=V,
+                                H=wh[1], W=wh[0])
+    from ..models.aggregator import init_aggregator_params
+    agg_params = init_aggregator_params(jax.random.PRNGKey(1), cfg.agg)
+    state = create_ff_state(jax.random.PRNGKey(2), variables, agg_params, cfg)
+    step, _infer = make_feedforward_step(cfg, model,
+                                         capacity=(wh[0] // 4) ** 2 * 2)
+    for i in range(steps):
+        target = view_ray_batch(*views[V], wh, n_rays=64, seed=i)
+        rays = RB(campos=jnp.asarray(target["campos"]),
+                  camrotc2w=jnp.asarray(target["camrotc2w"]),
+                  raydir=jnp.asarray(target["raydir"]),
+                  pixel_idx=jnp.asarray(target["pixel_idx"], jnp.int32),
+                  near=jnp.asarray(cfg.render.near_plane),
+                  far=jnp.asarray(cfg.render.far_plane),
+                  gt_image=jnp.asarray(target["gt_image"]))
+        batch = MVSBatch(images=jnp.asarray(images),
+                         proj_mats=jnp.asarray(view_proj_mats(Ks, w2cs, 0)),
+                         Ks=jnp.asarray(Ks), w2cs=jnp.asarray(w2cs),
+                         depth_values=jnp.linspace(2.0, 4.5, 16), rays=rays)
+        state, items = step(state, batch)
+        if i % 5 == 0 or i == steps - 1:
+            print(f"[ff] step {i}: loss={float(items['loss_total']):.5f} "
+                  f"psnr={float(items['psnr']):.2f}")
+    return state
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--demo", action="store_true")
+    ap.add_argument("--ff-demo", action="store_true",
+                    help="feed-forward (MVS generalization) demo")
     ap.add_argument("--steps", type=int, default=300)
     ap.add_argument("--run-dir", default="runs/demo")
     ap.add_argument("--platform", default=None,
@@ -187,8 +269,10 @@ def main():
         jax.config.update("jax_platforms", args.platform)
     if args.demo:
         demo(steps=args.steps, run_dir=args.run_dir)
+    elif args.ff_demo:
+        ff_demo(steps=min(args.steps, 50))
     else:
-        ap.error("only --demo is wired up; use train_scene() from code for "
+        ap.error("use --demo or --ff-demo; use train_scene() from code for "
                  "real datasets")
 
 

@@ -64,7 +64,12 @@ def alter_mask(step, alter_step: int):
     return phase == 0, phase == 1
 
 
-def masked_updates(updates: Dict[str, Any], mlp_on, pts_on):
-    """Scale update groups by the alternation mask (no-op when both on)."""
-    scale = {"mlp": mlp_on.astype(jnp.float32), "points": pts_on.astype(jnp.float32)}
-    return {k: jax.tree.map(lambda u: u * scale[k], v) for k, v in updates.items()}
+def masked_updates(updates: Dict[str, Any], mlp_on, other_on):
+    """Scale update groups by the alternation mask (no-op when both on).
+    The 'mlp' group follows mlp_on; every other group follows other_on
+    ('points' per-scene, 'mvs' feed-forward)."""
+    def scale(k):
+        on = mlp_on if k == "mlp" else other_on
+        return on.astype(jnp.float32)
+    return {k: jax.tree.map(lambda u, s=scale(k): u * s, v)
+            for k, v in updates.items()}
