@@ -254,9 +254,58 @@ def ff_demo(steps: int = 20, wh=(32, 32)):
     return state
 
 
+def n2d_demo(steps: int = 40, patch: int = 16):
+    """Feature-render + CNN-head demo (fork waymo mode): 16-channel feature
+    rays decoded to RGB by the 2D neural renderer."""
+    from ..models.neural_render import NeuralRenderer
+    from .neural2d import create_neural2d_state, make_neural2d_step
+
+    C = 16
+    cfg = tiny_test_config()
+    cfg = cfg.replace(agg=dataclasses.replace(
+        cfg.agg, shading_color_channel_num=C))
+    xyz, color, normals = sphere_scene(n_pts=2048)
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    pc, st = make_point_cloud(xyz, k1, cfg.points, cfg.agg.point_features_dim,
+                              color=color, dirs=normals)
+    params = init_aggregator_params(k2, cfg.agg)
+    grid = refresh_grid(pc, st, cfg)
+    head = NeuralRenderer(n_feat=32, input_dim=C, img_size=64, min_feat=8)
+    hp = head.init(jax.random.PRNGKey(1),
+                   jnp.zeros((1, patch, patch, C)))["params"]
+    state = create_neural2d_state(k3, params, pc, hp, cfg)
+    step = make_neural2d_step(cfg, head, patch)
+
+    campos, rot, K = ring_cameras(n_views=1, wh=(64, 64), focal=64.0)[0]
+    rng = np.random.RandomState(0)
+    for i in range(steps):
+        x0, y0 = rng.randint(0, 64 - patch, 2)
+        gx, gy = np.meshgrid(np.arange(x0, x0 + patch),
+                             np.arange(y0, y0 + patch))
+        pix = np.stack([gx.ravel(), gy.ravel()], -1).astype(np.float32)
+        from ..camera import get_dtu_raydir
+        raydir = get_dtu_raydir(pix, K, rot, True).astype(np.float32)
+        from ..data.synthetic import sphere_gt_render
+        gt = sphere_gt_render(campos, raydir).reshape(patch, patch, 3)
+        batch = RayBatch(
+            campos=jnp.asarray(campos), camrotc2w=jnp.asarray(rot),
+            raydir=jnp.asarray(raydir),
+            pixel_idx=jnp.asarray(pix, jnp.int32),
+            near=jnp.asarray(cfg.render.near_plane),
+            far=jnp.asarray(cfg.render.far_plane), gt_image=None)
+        state, items = step(state, st, grid, batch, jnp.asarray(gt),
+                            jnp.asarray(0))
+        if i % 10 == 0 or i == steps - 1:
+            print(f"[n2d] step {i}: loss={float(items['loss_total']):.5f} "
+                  f"psnr={float(items['psnr']):.2f}")
+    return state
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--demo", action="store_true")
+    ap.add_argument("--n2d-demo", action="store_true",
+                    help="feature rendering + 2D neural-render head demo")
     ap.add_argument("--ff-demo", action="store_true",
                     help="feed-forward (MVS generalization) demo")
     ap.add_argument("--steps", type=int, default=300)
@@ -271,6 +320,8 @@ def main():
         demo(steps=args.steps, run_dir=args.run_dir)
     elif args.ff_demo:
         ff_demo(steps=min(args.steps, 50))
+    elif args.n2d_demo:
+        n2d_demo(steps=min(args.steps, 100))
     else:
         ap.error("use --demo or --ff-demo; use train_scene() from code for "
                  "real datasets")
