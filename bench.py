@@ -19,6 +19,14 @@ import time
 import jax
 import numpy as np
 
+# persistent compile cache: repeat bench runs skip the multi-minute XLA
+# compiles (safe no-op when the dir is unavailable)
+try:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+except Exception:
+    pass
+
 from __graft_entry__ import _batch, _scene_state
 from pointnerf_tpu.config import bench_config
 from pointnerf_tpu.train.step import create_train_state, train_step

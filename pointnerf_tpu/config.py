@@ -53,6 +53,16 @@ class QueryConfig:
     shell_layered: bool = True
     # chunk size (shading points) for the XLA KNN to bound gather memory
     knn_chunk: int = 65536
+    # Precompute per-voxel neighbor candidate lists at grid build
+    # (ops/grid.py): the query then reads ONE contiguous [Q*P, 3] row per
+    # shading point instead of Q small bucket gathers — ~6x faster query on
+    # TPU at the cost of max_d * Q*P * 16 bytes of HBM. Turn off for very
+    # large grids.
+    prebuild_neighbors: bool = False
+    # dilated-voxel table capacity for the prebuilt lists (0 -> 4 * max_o).
+    # Size to (dilation factor) x (actual occupied voxels): ~3-5x for
+    # contiguous surfaces, up to query_size volume (27x) for sparse clouds.
+    max_d: int = 0
 
     @property
     def scaled_vsize(self) -> Tuple[float, float, float]:
@@ -264,6 +274,37 @@ class PointNeRFConfig:
         return PointNeRFConfig(**kw)
 
 
+def ranges_from_cloud(xyz, pad_frac: float = 0.05
+                      ) -> Tuple[float, float, float, float, float, float]:
+    """Scene AABB from a point cloud, padded — the static-shape stand-in for
+    the reference's runtime `ranges ∩ cloud-AABB` intersection
+    (query_point_indices_worldcoords.py:58-75). Call once at scene setup and
+    bake into QueryConfig.ranges (shapes must be static under jit)."""
+    import numpy as _np
+    lo = _np.asarray(xyz).min(axis=0)
+    hi = _np.asarray(xyz).max(axis=0)
+    pad = (hi - lo) * pad_frac + 1e-3
+    lo, hi = lo - pad, hi + pad
+    return (float(lo[0]), float(lo[1]), float(lo[2]),
+            float(hi[0]), float(hi[1]), float(hi[2]))
+
+
+def scene_config(xyz, vox_res: int = 320, K: int = 8, SR: int = 80,
+                 z_depth_dim: int = 400, near: float = 2.0, far: float = 6.0
+                 ) -> PointNeRFConfig:
+    """Auto-size a per-scene config from an init cloud: ranges from the
+    AABB, vsize from the AABB diagonal / vox_res (the reference derives
+    vsize from `vox_res` downsampling the same way, lego.sh:17,51)."""
+    import numpy as _np
+    r = ranges_from_cloud(xyz)
+    span = max(r[3] - r[0], r[4] - r[1], r[5] - r[2])
+    v = span / vox_res
+    return PointNeRFConfig(
+        query=QueryConfig(vsize=(v, v, v), K=K, SR=SR,
+                          z_depth_dim=z_depth_dim, ranges=r),
+        render=RenderConfig(near_plane=near, far_plane=far))
+
+
 def lego_config() -> PointNeRFConfig:
     """The canonical lego per-scene config (dev_scripts/w_n360/lego.sh)."""
     return PointNeRFConfig()
@@ -277,8 +318,9 @@ def bench_config() -> PointNeRFConfig:
     return PointNeRFConfig(
         query=QueryConfig(
             vsize=(0.008, 0.008, 0.008), vscale=(2.0, 2.0, 2.0),
-            max_o=65536, P=9, K=8, SR=80, z_depth_dim=400,
-            ranges=(-0.8, -0.8, -0.8, 0.8, 0.8, 0.8), knn_chunk=36864),
+            max_o=32768, P=9, K=8, SR=80, z_depth_dim=400,
+            ranges=(-0.8, -0.8, -0.8, 0.8, 0.8, 0.8), knn_chunk=36864,
+            prebuild_neighbors=True, max_d=131072),
         render=RenderConfig(near_plane=2.0, far_plane=4.5),
         train=TrainConfig(compute_dtype="bf16"),
         parallel=ParallelConfig(remat=True),

@@ -23,7 +23,7 @@ reference scene config (lego.sh:12 `load_points=0` path sets xyz_grad 0).
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -50,6 +50,19 @@ class PointGrid(NamedTuple):
     bucket_pnt: jnp.ndarray  # [max_o, P] int32
     bucket_cnt: jnp.ndarray  # [max_o] int32
     num_occ: jnp.ndarray     # [] int32 — number of occupied voxels (pre-cap)
+    # Point positions copied into the bucket layout [max_o, P, 3]: the KNN
+    # reads candidate xyz as contiguous per-voxel blocks (one 108-byte row
+    # per neighbor voxel) instead of P independent 12-byte random gathers —
+    # the dominant HBM pattern of the query. Dead slots hold DEAD (1e8).
+    bucket_xyz: jnp.ndarray  # [max_o, P, 3] float32
+    # Prebuilt neighbor tables (cfg.prebuild_neighbors): one slot per
+    # DILATED-occupied voxel (shading points live in the dilation, their own
+    # voxel may hold no points) with the full kernel_size³ candidate set laid
+    # out contiguously. The query becomes one ~3KB streaming row read per
+    # shading point. None when disabled (grid pytree shape is config-static).
+    vox_dslot: Optional[jnp.ndarray] = None  # [G] int32 cell -> dilated slot
+    nbr_xyz: Optional[jnp.ndarray] = None    # [max_d, Q*P, 3] f32 (dead=1e8)
+    nbr_pid: Optional[jnp.ndarray] = None    # [max_d, Q*P] int32 (-1 pad)
 
 
 def grid_meta(cfg: QueryConfig) -> GridMeta:
@@ -82,6 +95,17 @@ def _dilation_offsets(query_size: Tuple[int, int, int]) -> np.ndarray:
         axes.append(np.arange(-(k // 2), (k + 1) // 2))
     ox, oy, oz = np.meshgrid(*axes, indexing="ij")
     return np.stack([ox.ravel(), oy.ravel(), oz.ravel()], axis=-1).astype(np.int32)
+
+
+def kernel_offsets_layered(kernel_size: Tuple[int, int, int]
+                           ) -> Tuple[np.ndarray, np.ndarray]:
+    """Neighbor-voxel offsets ordered by shell layer max(|x|,|y|,|z|)
+    (query_neigh_along_ray_layered :482-489 scan order). Shared by the KNN
+    and the prebuilt neighbor-table layout — the orders MUST match."""
+    offs = _dilation_offsets(kernel_size)
+    layer = np.abs(offs).max(axis=-1)
+    order = np.argsort(layer, kind="stable")
+    return offs[order], layer[order]
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -146,5 +170,46 @@ def build_grid(xyz: jnp.ndarray, num_active: jnp.ndarray, cfg: QueryConfig) -> P
     nvid = jnp.where(ninb & occ_valid[:, None], nvid, G)
     vox_occ = jnp.zeros((G,), jnp.int8).at[nvid.reshape(-1)].set(1, mode="drop")
 
+    bucket_xyz = jnp.where((bucket_pnt >= 0)[..., None],
+                           xyz[jnp.maximum(bucket_pnt, 0)], 1.0e8)
+
+    vox_dslot = nbr_xyz = nbr_pid = None
+    if cfg.prebuild_neighbors:
+        assert all(q >= k for q, k in zip(cfg.query_size, cfg.kernel_size)), \
+            "prebuild_neighbors requires query_size >= kernel_size (shading " \
+            "points must lie inside the dilated cells the table covers)"
+        # One table slot per DILATED-occupied cell (where shading points can
+        # land); its row holds the full kernel_size neighborhood's candidate
+        # positions/ids contiguously. Query-time cost drops to one streaming
+        # row read per shading point; this build-side gather runs only on
+        # point-set changes.
+        max_d = cfg.max_d or 4 * max_o
+        dil = jnp.sort(nvid.reshape(-1))                  # [max_o * Qd]
+        d_new = jnp.concatenate([jnp.ones((1,), bool),
+                                 dil[1:] != dil[:-1]]) & (dil < G)
+        drank = jnp.cumsum(d_new.astype(jnp.int32)) - 1
+        d_ok = d_new & (drank >= 0) & (drank < max_d)
+        dil_vid = jnp.full((max_d,), G, jnp.int32).at[
+            jnp.where(d_ok, drank, max_d)].set(dil, mode="drop")
+        vox_dslot = jnp.full((G,), -1, jnp.int32).at[
+            jnp.where(d_ok, dil, G)].set(drank, mode="drop")
+
+        dcoor = jnp.stack([dil_vid // (gy * gz), (dil_vid // gz) % gy,
+                           dil_vid % gz], axis=-1)        # [max_d, 3]
+        koffs, _klayer = kernel_offsets_layered(cfg.kernel_size)
+        kn, kinb = flat_vid(dcoor[:, None, :] + jnp.asarray(koffs)[None],
+                            meta)                          # [max_d, Qk]
+        kslot = jnp.where(kinb & (dil_vid < G)[:, None],
+                          vox_slot[jnp.minimum(kn, G - 1)], -1)
+        ksc = jnp.maximum(kslot, 0)
+        live = kslot >= 0
+        nbr_xyz = jnp.where(live[..., None, None], bucket_xyz[ksc], 1.0e8
+                            ).reshape(max_d, -1, 3)
+        nbr_pid = jnp.where(live[..., None], bucket_pnt[ksc], -1
+                            ).reshape(max_d, -1)
+
     return PointGrid(vox_slot=vox_slot, vox_occ=vox_occ, bucket_pnt=bucket_pnt,
-                     bucket_cnt=bucket_cnt, num_occ=jnp.asarray(num_occ, jnp.int32))
+                     bucket_cnt=bucket_cnt,
+                     num_occ=jnp.asarray(num_occ, jnp.int32),
+                     bucket_xyz=bucket_xyz, vox_dslot=vox_dslot,
+                     nbr_xyz=nbr_xyz, nbr_pid=nbr_pid)

@@ -112,15 +112,16 @@ def select_shading_points(raypos: jnp.ndarray, grid: PointGrid, meta: GridMeta,
     occ = grid.vox_occ[jnp.minimum(vid, grid.vox_occ.shape[0] - 1)]
     hit = inb & (occ > 0)                                # [R, D]
 
+    # Gather formulation (TPU-friendly, no scatters): slot s takes the s-th
+    # hit sample = first d with cumsum(hit)[d] == s+1, found by a vectorized
+    # per-row searchsorted over the nondecreasing cumsum.
     csum = jnp.cumsum(hit.astype(jnp.int32), axis=-1)    # [R, D]
-    slot = csum - 1                                      # slot if hit
-    take = hit & (csum <= SR)
-    flat = jnp.where(take, jnp.arange(R, dtype=jnp.int32)[:, None] * SR + slot,
-                     R * SR)
-    sample_loc_w = jnp.zeros((R * SR, 3), jnp.float32).at[flat.reshape(-1)].set(
-        raypos.reshape(-1, 3), mode="drop").reshape(R, SR, 3)
-    sample_mask = jnp.zeros((R * SR,), bool).at[flat.reshape(-1)].set(
-        True, mode="drop").reshape(R, SR)
+    targets = jnp.arange(1, SR + 1, dtype=jnp.int32)     # [SR]
+    idx = jax.vmap(lambda c: jnp.searchsorted(c, targets, side="left"))(csum)
+    sample_mask = idx < D                                # slot exists
+    idx = jnp.minimum(idx, D - 1)
+    sample_loc_w = jnp.take_along_axis(raypos, idx[..., None], axis=1)
+    sample_loc_w = jnp.where(sample_mask[..., None], sample_loc_w, 0.0)
     return sample_loc_w, sample_mask
 
 
@@ -130,15 +131,10 @@ def select_shading_points(raypos: jnp.ndarray, grid: PointGrid, meta: GridMeta,
 
 def _kernel_offsets(kernel_size: Tuple[int, int, int]) -> np.ndarray:
     """Neighbor-voxel offsets for the shell search, ordered by shell layer
-    (query_neigh_along_ray_layered :482-489 scans layer = max(|x|,|y|,|z|))."""
-    axes = []
-    for k in (int(kernel_size[0]), int(kernel_size[1]), int(kernel_size[2])):
-        axes.append(np.arange(-(k // 2), (k + 1) // 2))
-    ox, oy, oz = np.meshgrid(*axes, indexing="ij")
-    offs = np.stack([ox.ravel(), oy.ravel(), oz.ravel()], axis=-1).astype(np.int32)
-    layer = np.abs(offs).max(axis=-1)
-    order = np.argsort(layer, kind="stable")
-    return offs[order], layer[order]
+    (query_neigh_along_ray_layered :482-489 scans layer = max(|x|,|y|,|z|)).
+    Shared with the prebuilt neighbor-table layout (ops/grid.py)."""
+    from .grid import kernel_offsets_layered
+    return kernel_offsets_layered(kernel_size)
 
 
 def _knn_chunk(centers, center_valid, xyz, grid, meta, cfg: QueryConfig):
@@ -153,21 +149,35 @@ def _knn_chunk(centers, center_valid, xyz, grid, meta, cfg: QueryConfig):
     Q = offs.shape[0]
     offs_j = jnp.asarray(offs)
     layer_j = jnp.asarray(layer)                          # [Q]
+    G1 = grid.vox_slot.shape[0] - 1
 
     ccoor = voxel_coords(centers, meta)                   # [C, 3]
-    ncoor = ccoor[:, None, :] + offs_j[None, :, :]        # [C, Q, 3]
-    nvid, ninb = flat_vid(ncoor, meta)
-    slot = jnp.where(ninb, grid.vox_slot[jnp.minimum(nvid, grid.vox_slot.shape[0] - 1)], -1)
-    has = slot >= 0                                       # [C, Q]
-    slot_c = jnp.where(has, slot, 0)
-    pids = grid.bucket_pnt[slot_c]                        # [C, Q, P]
-    cnt = jnp.where(has, grid.bucket_cnt[slot_c], 0)      # [C, Q]
-
-    in_cnt = jnp.arange(P, dtype=jnp.int32)[None, None, :] < cnt[..., None]
-    cand_ok = in_cnt & (pids >= 0) & center_valid[:, None, None]
-    pxyz = xyz[jnp.maximum(pids, 0)]                      # [C, Q, P, 3]
-    diff = pxyz - centers[:, None, None, :]
-    d2 = jnp.sum(diff * diff, axis=-1)                    # [C, Q, P]
+    if grid.nbr_xyz is not None:
+        # FAST PATH: one streaming [Q*P, 3] row per center from the prebuilt
+        # per-dilated-voxel candidate table (see ops/grid.py).
+        cvid, cinb = flat_vid(ccoor, meta)                # [C]
+        dslot = jnp.where(cinb, grid.vox_dslot[jnp.minimum(cvid, G1)], -1)
+        dsc = jnp.maximum(dslot, 0)
+        pxyz = grid.nbr_xyz[dsc].reshape(C, Q, P, 3)
+        cand_ok = ((dslot >= 0) & center_valid)[:, None, None] & \
+            (pxyz[..., 0] < 1.0e7)                        # dead slots = 1e8
+        diff = pxyz - centers[:, None, None, :]
+        d2 = jnp.sum(diff * diff, axis=-1)                # [C, Q, P]
+    else:
+        ncoor = ccoor[:, None, :] + offs_j[None, :, :]    # [C, Q, 3]
+        nvid, ninb = flat_vid(ncoor, meta)
+        slot = jnp.where(ninb, grid.vox_slot[jnp.minimum(nvid, G1)], -1)
+        has = slot >= 0                                   # [C, Q]
+        slot_c = jnp.where(has, slot, 0)
+        # Candidate positions from the bucket-major copy: one contiguous
+        # [P,3] row per neighbor voxel (vs P scattered point gathers). Point
+        # ids are gathered only for the K winners after top_k.
+        pxyz = grid.bucket_xyz[slot_c]                    # [C, Q, P, 3]
+        cnt = jnp.where(has, grid.bucket_cnt[slot_c], 0)  # [C, Q]
+        in_cnt = jnp.arange(P, dtype=jnp.int32)[None, None, :] < cnt[..., None]
+        cand_ok = in_cnt & has[..., None] & center_valid[:, None, None]
+        diff = pxyz - centers[:, None, None, :]
+        d2 = jnp.sum(diff * diff, axis=-1)                # [C, Q, P]
 
     r2 = cfg.radius_limit ** 2
     if r2 > 0:
@@ -189,10 +199,14 @@ def _knn_chunk(centers, center_valid, xyz, grid, meta, cfg: QueryConfig):
         cand_ok = cand_ok & (lay <= L[:, None, None])
 
     d2_flat = jnp.where(cand_ok, d2, jnp.inf).reshape(C, Q * P)
-    pid_flat = pids.reshape(C, Q * P)
     neg, top_i = jax.lax.top_k(-d2_flat, K)               # [C, K]
     top_d2 = -neg
-    top_pid = jnp.take_along_axis(pid_flat, top_i, axis=-1)
+    # gather ids only for the K winners
+    if grid.nbr_xyz is not None:
+        top_pid = jnp.take_along_axis(grid.nbr_pid[dsc], top_i, axis=-1)
+    else:
+        win_slot = jnp.take_along_axis(slot_c, top_i // P, axis=-1)  # [C, K]
+        top_pid = grid.bucket_pnt[win_slot, top_i % P]
     ok = jnp.isfinite(top_d2)
     return jnp.where(ok, top_pid, -1).astype(jnp.int32), jnp.where(ok, top_d2, jnp.inf)
 

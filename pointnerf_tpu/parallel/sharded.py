@@ -62,12 +62,13 @@ class ShardedScene(NamedTuple):
     vox_slot: jnp.ndarray     # [mp, G] int32 — per-shard voxel -> bucket slot
     bucket_pnt: jnp.ndarray   # [mp, max_o, P] int32 — per-shard point buckets
     bucket_cnt: jnp.ndarray   # [mp, max_o] int32
+    bucket_xyz: jnp.ndarray   # [mp, max_o, P, 3] — bucket-major positions
     occ_union: jnp.ndarray    # [G] int8 — union dilated occupancy (replicated)
 
 
 SCENE_SPECS = ShardedScene(
     num_active=P("mp"), Rw2c=P(), vox_slot=P("mp"), bucket_pnt=P("mp"),
-    bucket_cnt=P("mp"), occ_union=P())
+    bucket_cnt=P("mp"), bucket_xyz=P("mp"), occ_union=P())
 
 
 def partition_points(xyz: np.ndarray, key, cfg: PointNeRFConfig, mp: int,
@@ -119,14 +120,16 @@ def build_sharded_scene(pc: PointCloud, num_active: jnp.ndarray,
         occ_union = (jax.lax.psum(grid.vox_occ.astype(jnp.int32), "mp") > 0
                      ).astype(jnp.int8)
         return (grid.vox_slot[None], grid.bucket_pnt[None],
-                grid.bucket_cnt[None], occ_union)
+                grid.bucket_cnt[None], grid.bucket_xyz[None], occ_union)
 
-    vox_slot, bucket_pnt, bucket_cnt, occ_union = jax.jit(jax.shard_map(
-        builder, mesh=mesh, in_specs=(P("mp"), P("mp")),
-        out_specs=(P("mp"), P("mp"), P("mp"), P())))(pc.xyz, num_active)
+    vox_slot, bucket_pnt, bucket_cnt, bucket_xyz, occ_union = jax.jit(
+        jax.shard_map(
+            builder, mesh=mesh, in_specs=(P("mp"), P("mp")),
+            out_specs=(P("mp"), P("mp"), P("mp"), P("mp"), P())))(
+        pc.xyz, num_active)
     return ShardedScene(num_active=num_active, Rw2c=Rw2c, vox_slot=vox_slot,
                         bucket_pnt=bucket_pnt, bucket_cnt=bucket_cnt,
-                        occ_union=occ_union)
+                        bucket_xyz=bucket_xyz, occ_union=occ_union)
 
 
 def _a2a(x, mp: int):
@@ -222,11 +225,12 @@ def _squeeze0(tree):
     return jax.tree.map(lambda x: x[0], tree)
 
 
-def _local_grid(scene_leaves) -> PointGrid:
-    num_active, Rw2c, vox_slot, bucket_pnt, bucket_cnt, occ_union = scene_leaves
-    return PointGrid(vox_slot=vox_slot[0], vox_occ=occ_union,
-                     bucket_pnt=bucket_pnt[0], bucket_cnt=bucket_cnt[0],
-                     num_occ=jnp.asarray(0, jnp.int32))
+def _local_grid(scene: ShardedScene) -> PointGrid:
+    return PointGrid(vox_slot=scene.vox_slot[0], vox_occ=scene.occ_union,
+                     bucket_pnt=scene.bucket_pnt[0],
+                     bucket_cnt=scene.bucket_cnt[0],
+                     num_occ=jnp.asarray(0, jnp.int32),
+                     bucket_xyz=scene.bucket_xyz[0])
 
 
 def make_sharded_train_step(cfg: PointNeRFConfig, mesh: Mesh):

@@ -301,6 +301,55 @@ def n2d_demo(steps: int = 40, patch: int = 16):
     return state
 
 
+def train_dataset_scene(dataset_name: str, data_root: str, scan: str,
+                        run_dir: str, max_steps: Optional[int] = None,
+                        cfg: Optional[PointNeRFConfig] = None,
+                        resume: bool = True):
+    """Per-scene optimization on a real dataset (run/train_ft.py main path):
+    load the init cloud, auto-size the query config from its AABB, sample
+    `random_sample_size²` rays per step, evaluate on the test split."""
+    from ..config import DataConfig, scene_config
+    from ..data import find_dataset_class_by_name
+
+    dcfg = DataConfig(dataset_name=dataset_name, data_root=data_root,
+                      scan=scan)
+    cls = find_dataset_class_by_name(dataset_name)
+    train_ds = cls(dcfg, split="train")
+    test_ds = cls(dcfg, split="test")
+
+    cloud = train_ds.load_init_points()
+    xyz = cloud["xyz"]
+    if cfg is None:
+        cfg = scene_config(xyz, near=float(train_ds.near),
+                           far=float(train_ds.far))
+    # voxel-downsample the raw cloud like the reference init
+    # (construct_vox_points_closest, run/train_ft.py:141-147)
+    from ..ops.voxel import construct_vox_points_closest
+    if xyz.shape[0] > 2_000_000:
+        idx, _ = construct_vox_points_closest(xyz, cfg.points.vox_res)
+        xyz = xyz[idx]
+        cloud = {k: v[idx] for k, v in cloud.items()}
+    color = cloud.get("color")
+    normals = cloud.get("normal")
+
+    wh = (train_ds.width, train_ds.height)
+    rng = np.random.RandomState(cfg.train.seed)
+
+    def train_item(step):
+        i = rng.randint(0, len(train_ds))
+        return train_ds.get_item(i, random_sample=cfg.train.random_sample,
+                                 random_sample_size=cfg.train.random_sample_size,
+                                 seed=step)
+
+    test_items = [test_ds.get_item(i) for i in
+                  range(0, len(test_ds), max(1, len(test_ds) // 8))]
+    probe_items = [train_ds.get_item(i) for i in
+                   range(0, len(train_ds), max(1, len(train_ds) // 4))]
+    return train_scene(cfg, (xyz, color, normals), train_item, test_items,
+                       probe_items, wh, run_dir=run_dir, max_steps=max_steps,
+                       resume=resume)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--demo", action="store_true")
@@ -313,10 +362,18 @@ def main():
     ap.add_argument("--platform", default=None,
                     help="cpu|axon — overrides the sitecustomize-baked "
                          "JAX platform")
+    ap.add_argument("--dataset", default=None,
+                    help="real-data per-scene training: dataset name "
+                         "(nerf_synth360_ft | tt_ft | scannet_ft | llff_ft)")
+    ap.add_argument("--data-root", default="")
+    ap.add_argument("--scan", default="lego")
     args = ap.parse_args()
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
-    if args.demo:
+    if args.dataset:
+        train_dataset_scene(args.dataset, args.data_root, args.scan,
+                            run_dir=args.run_dir, max_steps=args.steps)
+    elif args.demo:
         demo(steps=args.steps, run_dir=args.run_dir)
     elif args.ff_demo:
         ff_demo(steps=min(args.steps, 50))

@@ -1,0 +1,58 @@
+"""Real-data per-scene driver path on a generated NeRF-Synthetic fixture."""
+import dataclasses
+import json
+import os
+
+import numpy as np
+
+from pointnerf_tpu.config import scene_config
+from pointnerf_tpu.data.ply import save_ply
+
+
+def _fixture_scene(root, n_views=3, wh=(20, 16)):
+    import imageio.v2 as imageio
+    rng = np.random.RandomState(0)
+    W, H = wh
+    for split in ("train", "test"):
+        frames = []
+        for i in range(n_views):
+            img = (rng.rand(H, W, 4) * 255).astype(np.uint8)
+            os.makedirs(root / split, exist_ok=True)
+            imageio.imwrite(str(root / split / f"r_{i}.png"), img)
+            th = 2 * np.pi * i / n_views
+            pose = np.eye(4)
+            pose[:3, 3] = [3 * np.sin(th), 0.5, 3 * np.cos(th)]
+            # look at origin (blender convention: -z forward)
+            z = -pose[:3, 3] / np.linalg.norm(pose[:3, 3])
+            x = np.cross([0, 1, 0], -z)
+            x /= np.linalg.norm(x) + 1e-9
+            y = np.cross(-z, x)
+            pose[:3, 0], pose[:3, 1], pose[:3, 2] = x, y, -z
+            frames.append({"file_path": f"{split}/r_{i}",
+                           "transform_matrix": pose.tolist()})
+        (root / f"transforms_{split}.json").write_text(json.dumps(
+            {"camera_angle_x": 0.9, "frames": frames}))
+    xyz = rng.normal(0, 0.3, (300, 3)).astype(np.float32)
+    color = rng.rand(300, 3).astype(np.float32)
+    save_ply(str(root / "points.ply"), xyz, color)
+
+
+def test_train_dataset_scene_runs(tmp_path):
+    from pointnerf_tpu.train.driver import train_dataset_scene
+    root = tmp_path / "lego"
+    _fixture_scene(root)
+    cfg = scene_config(
+        np.random.RandomState(0).normal(0, 0.3, (300, 3)).astype(np.float32),
+        vox_res=16, K=4, SR=8, z_depth_dim=32, near=2.0, far=4.5)
+    cfg = cfg.replace(
+        train=dataclasses.replace(cfg.train, random_sample_size=6,
+                                  maximum_step=10, prune_iter=0, prob_freq=0,
+                                  test_freq=10, save_iter_freq=10,
+                                  print_freq=5),
+        query=dataclasses.replace(cfg.query, max_o=4096, P=8,
+                                  knn_chunk=2048))
+    state, st, hist = train_dataset_scene(
+        "nerf_synth360_ft", str(tmp_path), "lego",
+        run_dir=str(tmp_path / "run"), max_steps=10, cfg=cfg, resume=False)
+    assert int(state.step) == 10
+    assert hist["eval"] and np.isfinite(hist["eval"][-1]["psnr"])

@@ -149,3 +149,31 @@ def test_ray_march_matches_oracle():
     np.testing.assert_allclose(np.asarray(got[0]), want_color, atol=1e-5)
     np.testing.assert_allclose(np.asarray(got[2]), want_op, atol=1e-5)
     np.testing.assert_allclose(np.asarray(got[5]), want_bgT, atol=1e-5)
+
+
+def test_prebuilt_neighbor_parity():
+    """prebuild_neighbors=True must return the same KNN distance multisets
+    as the bucket-gather path."""
+    import dataclasses
+    rng = np.random.RandomState(5)
+    xyz = rng.uniform(-0.9, 0.9, (400, 3)).astype(np.float32)
+    base = tiny_qcfg(shell_layered=True)
+    pre = dataclasses.replace(base, prebuild_neighbors=True, max_d=16384)
+    # centers must lie inside the dilated occupancy (the production
+    # select_shading_points guarantees this; the prebuilt table only covers
+    # dilated cells) -> sample near actual points
+    centers = (xyz[rng.randint(0, 400, 6 * 9)]
+               + rng.uniform(-0.05, 0.05, (54, 3))).astype(np.float32)
+    centers = centers.reshape(6, 9, 3)
+    mask = np.ones(centers.shape[:2], bool)
+
+    g0 = build_grid(jnp.asarray(xyz), jnp.asarray(400, jnp.int32), base)
+    g1 = build_grid(jnp.asarray(xyz), jnp.asarray(400, jnp.int32), pre)
+    p0, d0 = knn_query(jnp.asarray(centers), jnp.asarray(mask),
+                       jnp.asarray(xyz), g0, base)
+    p1, d1 = knn_query(jnp.asarray(centers), jnp.asarray(mask),
+                       jnp.asarray(xyz), g1, pre)
+    d0 = np.where(np.asarray(p0) >= 0, np.asarray(d0), np.inf)
+    d1 = np.where(np.asarray(p1) >= 0, np.asarray(d1), np.inf)
+    np.testing.assert_allclose(np.sort(d0, -1), np.sort(d1, -1),
+                               rtol=1e-6, atol=1e-9)
