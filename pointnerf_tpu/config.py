@@ -173,6 +173,15 @@ class LossConfig:
     zero_one_loss_weights: Tuple[float, ...] = (0.0001,)
     sparse_loss_weight: float = 0.0
     zero_epsilon: float = 1e-3
+    # depth supervision (ray_depth_masked_* dispatch,
+    # base_rendering_model.py:565-571); item name 'coarse_depth'
+    depth_loss_items: Tuple[str, ...] = ()
+    depth_loss_weights: Tuple[float, ...] = ()
+    # background supervision on coarse_is_background vs the GT-derived
+    # background mask (bg_loss_items, base_rendering_model.py:96-104)
+    bg_loss_items: Tuple[str, ...] = ()
+    bg_loss_weights: Tuple[float, ...] = ()
+    bg_color_match_eps: float = 2e-3  # ||gt - bg|| threshold for the bg mask
 
 
 @dataclass(frozen=True)
@@ -319,11 +328,11 @@ def bench_config() -> PointNeRFConfig:
         query=QueryConfig(
             vsize=(0.008, 0.008, 0.008), vscale=(2.0, 2.0, 2.0),
             max_o=32768, P=9, K=8, SR=80, z_depth_dim=400,
-            ranges=(-0.8, -0.8, -0.8, 0.8, 0.8, 0.8), knn_chunk=36864,
-            prebuild_neighbors=True, max_d=131072),
+            ranges=(-0.8, -0.8, -0.8, 0.8, 0.8, 0.8), knn_chunk=294912,
+            prebuild_neighbors=True, max_d=131072, shell_layered=False),
         render=RenderConfig(near_plane=2.0, far_plane=4.5),
         train=TrainConfig(compute_dtype="bf16"),
-        parallel=ParallelConfig(remat=True),
+        parallel=ParallelConfig(remat=False),
     )
 
 

@@ -30,8 +30,11 @@ def _masked_mse(pred, gt, mask):
 
 
 def compute_losses(out: RenderOutput, gt_image: jnp.ndarray,
-                   cfg: LossConfig) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
-    """Returns (total_loss, per-item dict). gt_image: [R, 3]."""
+                   cfg: LossConfig, gt_depth=None, bg_color=None
+                   ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Returns (total_loss, per-item dict). gt_image: [R, 3];
+    gt_depth (optional): [R] or [R,1] for depth_loss_items;
+    bg_color (optional): [3] for bg_loss_items."""
     total = 0.0
     items: Dict[str, jnp.ndarray] = {}
     output = {"coarse_raycolor": out.coarse_raycolor}
@@ -50,6 +53,30 @@ def compute_losses(out: RenderOutput, gt_image: jnp.ndarray,
             loss = jnp.mean((output[name] - gt_image) ** 2)
         items["loss_" + name] = loss
         total = total + loss * wgt + 1e-6  # +1e-6 per item, ref :603
+
+    if gt_depth is not None:
+        gt_d = gt_depth.reshape(-1, 1)
+        for name, wgt in zip(cfg.depth_loss_items, cfg.depth_loss_weights):
+            # ray_depth_masked_*: L2 on hit rays with valid GT depth
+            # (base_rendering_model.py:565-571)
+            base = (name[len("ray_depth_masked_"):]
+                    if name.startswith("ray_depth_masked_") else name)
+            assert base == "coarse_depth", base
+            m = out.ray_mask & (gt_d[:, 0] > 0)
+            loss = _masked_mse(out.coarse_depth, gt_d, m)
+            items["loss_" + name] = loss
+            total = total + loss * wgt
+
+    if bg_color is not None and cfg.bg_loss_items:
+        # GT background mask from color match (reference probe semantics,
+        # run/train_ft.py:503: ||gt-bg|| > eps means foreground)
+        is_bg = (jnp.linalg.norm(gt_image - bg_color.reshape(1, -1), axis=-1)
+                 < cfg.bg_color_match_eps).astype(jnp.float32)[:, None]
+        for name, wgt in zip(cfg.bg_loss_items, cfg.bg_loss_weights):
+            assert name == "coarse_is_background", name
+            loss = jnp.mean((out.coarse_is_background - is_bg) ** 2)
+            items["loss_" + name] = loss
+            total = total + loss * wgt
 
     for name, wgt in zip(cfg.zero_one_loss_items, cfg.zero_one_loss_weights):
         if name == "conf_coefficient":

@@ -42,6 +42,7 @@ class RayBatch(NamedTuple):
 class RenderOutput(NamedTuple):
     coarse_raycolor: jnp.ndarray        # [R, C]
     coarse_is_background: jnp.ndarray   # [R, 1]
+    coarse_depth: jnp.ndarray           # [R, 1] blend-weighted z depth
     coarse_point_opacity: jnp.ndarray   # [R, SR]
     queried_shading: jnp.ndarray        # [R, 1] 1 where ray found no shading
     ray_mask: jnp.ndarray               # [R] bool
@@ -105,10 +106,15 @@ def shade(params: Dict, cfg: PointNeRFConfig, sp, sample_loc, sample_loc_w,
     if cfg.agg.shading_color_channel_num != 3:
         bg = jnp.zeros((cfg.agg.shading_color_channel_num,), jnp.float32)
 
-    (ray_color, _point_color, opacity, acc_transmission, _blend_w,
+    (ray_color, _point_color, opacity, acc_transmission, blend_w,
      background_transmission, _bg_bw) = ray_march(
         ray_dist, agg.ray_valid, agg.features, render_func, blend_func, bg)
     ray_color = tonemap(ray_color)
+
+    # blend-weighted expected depth (perspective z of shading samples) —
+    # feeds ray_depth_masked_* losses (base_rendering_model.py:565-571)
+    depth = jnp.sum(blend_w[..., 0] * sample_loc[..., 2], axis=-1,
+                    keepdims=True)
 
     queried_shading = (~jnp.any(agg.ray_valid, axis=-1, keepdims=True)).astype(jnp.float32)
     ray_mask = jnp.any(sp.mask.reshape(sp.mask.shape[0], -1), axis=-1)
@@ -116,6 +122,7 @@ def shade(params: Dict, cfg: PointNeRFConfig, sp, sample_loc, sample_loc_w,
     out = RenderOutput(
         coarse_raycolor=ray_color,
         coarse_is_background=background_transmission,
+        coarse_depth=depth,
         coarse_point_opacity=opacity,
         queried_shading=queried_shading,
         ray_mask=ray_mask,

@@ -99,7 +99,9 @@ class QueryResult(NamedTuple):
 
 
 def select_shading_points(raypos: jnp.ndarray, grid: PointGrid, meta: GridMeta,
-                          SR: int):
+                          SR: int, tvals: Optional[jnp.ndarray] = None,
+                          campos: Optional[jnp.ndarray] = None,
+                          raydir: Optional[jnp.ndarray] = None):
     """Pick the first SR ray samples that land in occupied (dilated) voxels.
 
     Matches mask_raypos (:390-414) + the cumsum compaction (:664-665) +
@@ -113,14 +115,22 @@ def select_shading_points(raypos: jnp.ndarray, grid: PointGrid, meta: GridMeta,
     hit = inb & (occ > 0)                                # [R, D]
 
     # Gather formulation (TPU-friendly, no scatters): slot s takes the s-th
-    # hit sample = first d with cumsum(hit)[d] == s+1, found by a vectorized
-    # per-row searchsorted over the nondecreasing cumsum.
+    # hit sample = first d with cumsum(hit)[d] == s+1. The index is the
+    # count of cumsum entries < s+1 — a dense [R, SR, D] comparison-sum that
+    # stays on the VPU (vmapped searchsorted lowers to a serial while loop).
     csum = jnp.cumsum(hit.astype(jnp.int32), axis=-1)    # [R, D]
     targets = jnp.arange(1, SR + 1, dtype=jnp.int32)     # [SR]
-    idx = jax.vmap(lambda c: jnp.searchsorted(c, targets, side="left"))(csum)
+    idx = jnp.sum((csum[:, None, :] < targets[None, :, None]),
+                  axis=-1, dtype=jnp.int32)              # [R, SR]
     sample_mask = idx < D                                # slot exists
     idx = jnp.minimum(idx, D - 1)
-    sample_loc_w = jnp.take_along_axis(raypos, idx[..., None], axis=1)
+    if tvals is not None:
+        # gather the scalar ray parameter and rebuild the position (1 float
+        # per slot instead of 3)
+        t = jnp.take_along_axis(tvals, idx, axis=1)      # [R, SR]
+        sample_loc_w = campos[None, None, :] + raydir[:, None, :] * t[..., None]
+    else:
+        sample_loc_w = jnp.take_along_axis(raypos, idx[..., None], axis=1)
     sample_loc_w = jnp.where(sample_mask[..., None], sample_loc_w, 0.0)
     return sample_loc_w, sample_mask
 
@@ -261,9 +271,11 @@ def query_points(xyz: jnp.ndarray, grid: PointGrid, campos: jnp.ndarray,
     meta = grid_meta(cfg)
     gen = RAY_GENERATORS["near_far_disparity_linear" if cfg.inverse > 0
                          else "near_far_linear"]
-    raypos, _seg, _t = gen(campos, raydir, cfg.z_depth_dim, near, far,
-                           jitter=jitter, key=key)
-    sample_loc_w, sample_mask = select_shading_points(raypos, grid, meta, cfg.SR)
+    raypos, _seg, tvals = gen(campos, raydir, cfg.z_depth_dim, near, far,
+                              jitter=jitter, key=key)
+    tvals = jnp.broadcast_to(tvals, raypos.shape[:2])
+    sample_loc_w, sample_mask = select_shading_points(
+        raypos, grid, meta, cfg.SR, tvals=tvals, campos=campos, raydir=raydir)
     sample_pidx, _d2 = knn_query(sample_loc_w, sample_mask, xyz, grid, cfg)
     pnt_mask = sample_pidx >= 0
     # Rays whose shading points found zero neighbors drop out of the mask

@@ -44,12 +44,13 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..camera import w2pers
 from ..config import PointNeRFConfig
 from ..models.losses import compute_losses, mse2psnr
-from ..models.points import (DEAD_XYZ, PointCloud, SampledPoints,
-                             gather_points, make_point_cloud, round_capacity)
+from ..models.points import (DEAD_XYZ, PointCloud, PointCloudStatic,
+                             SampledPoints, gather_points, make_point_cloud,
+                             round_capacity)
 from ..models.renderer import RayBatch, RenderOutput, shade
 from ..ops.grid import PointGrid, build_grid, grid_meta
 from ..ops.query import (RAY_GENERATORS, knn_query, select_shading_points)
-from ..train.optim import apply_grad_flags, make_optimizer
+from ..train.optim import apply_grad_flags, freeze_points, make_optimizer
 from ..train.step import TrainState
 
 
@@ -247,7 +248,7 @@ def make_sharded_train_step(cfg: PointNeRFConfig, mesh: Mesh):
         Rw2c = scene.Rw2c
 
         def local_loss(p):
-            pc_local = _squeeze0(p["points"])
+            pc_local = freeze_points(_squeeze0(p["points"]), cfg.points)
             out, gt = _render_local(p["mlp"], pc_local, grid,
                                     scene.num_active[0], Rw2c, batch, cfg,
                                     key, train=True, mp=mp)
@@ -312,7 +313,7 @@ def make_sharded_eval_step(cfg: PointNeRFConfig, mesh: Mesh,
 
     # Spec tree must mirror the output: None in the prob-only slots when the
     # probe outputs are disabled (None is an empty subtree on both sides).
-    n_core = 9  # always-present RenderOutput fields
+    n_core = 10  # always-present RenderOutput fields
     n_prob = len(RenderOutput._fields) - n_core
     out_specs = RenderOutput(*([P(("dp", "mp"))] * n_core),
                              *([P(("dp", "mp")) if prob else None] * n_prob))
@@ -332,6 +333,96 @@ def make_sharded_eval_step(cfg: PointNeRFConfig, mesh: Mesh,
         return eval_sm(params, scene, batch)
 
     return step
+
+
+def sharded_prune(state: TrainState, scene: ShardedScene,
+                  cfg: PointNeRFConfig, mesh: Mesh
+                  ) -> Tuple[TrainState, ShardedScene, int]:
+    """Confidence pruning on the sharded cloud: each shard packs its own
+    survivors (vmapped models.points.prune over the mp axis), grids are
+    rebuilt, Adam state reset with the schedule fast-forwarded — the same
+    semantics as the single-device apply_prune (train/grow.py), matching the
+    reference DDP path's prune (train_ddp.py:913-937)."""
+    from ..models.points import prune as _prune
+    from ..train.grow import _reinit_opt_state
+
+    pc: PointCloud = state.params["points"]          # [mp, cap, ...]
+    sts = PointCloudStatic(num_active=scene.num_active,
+                           Rw2c=scene.Rw2c)
+
+    def one(pc_s, n_s):
+        pc2, st2, kept = _prune(pc_s, PointCloudStatic(num_active=n_s,
+                                                       Rw2c=scene.Rw2c),
+                                cfg.train.prune_thresh)
+        return pc2, kept
+
+    pc2, kept = jax.vmap(one)(pc, scene.num_active)
+    num_active = kept.astype(jnp.int32)
+    scene2 = build_sharded_scene(pc2, num_active, cfg, mesh, Rw2c=scene.Rw2c)
+    params = dict(state.params, points=pc2)
+    opt_state = _reinit_opt_state(params, cfg, state.step)
+    new_state = TrainState(params=params, opt_state=opt_state,
+                           step=state.step, key=state.key)
+    # re-place on the mesh (vmap output may lose shardings)
+    def put(tree, spec_tree):
+        return jax.tree.map(
+            lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+            tree, spec_tree)
+    pspec = {"mlp": jax.tree.map(lambda _: P(), params["mlp"]),
+             "points": jax.tree.map(lambda _: P("mp"), pc2)}
+    new_state = new_state._replace(params=put(params, pspec))
+    return new_state, scene2, int(jnp.sum(kept))
+
+
+def sharded_grow(state: TrainState, scene: ShardedScene, cand,
+                 cfg: PointNeRFConfig, mesh: Mesh
+                 ) -> Tuple[TrainState, ShardedScene, int]:
+    """Append probe candidates round-robin across point shards (same
+    balance rule as partition_points) and rebuild grids + Adam state."""
+    from ..models.points import grow as _grow
+    from ..train.grow import ProbeCandidates, _reinit_opt_state
+
+    mp = mesh.shape["mp"]
+    pc: PointCloud = state.params["points"]
+    m = cand.xyz.shape[0]
+    per = [np.arange(j, m, mp) for j in range(mp)]
+    width = max((len(p) for p in per), default=0)
+
+    def pad_shard(a, sel, fill):
+        out = np.full((width,) + a.shape[1:], fill, np.float32)
+        out[: len(sel)] = a[sel]
+        return out
+
+    shards_pc, counts = [], []
+    for j in range(mp):
+        pc_j = jax.tree.map(lambda x: x[j], pc)
+        st_j = PointCloudStatic(num_active=scene.num_active[j],
+                                Rw2c=scene.Rw2c)
+        if width:
+            pc_j, st_j, _added = _grow(
+                pc_j, st_j,
+                jnp.asarray(pad_shard(cand.xyz, per[j], DEAD_XYZ)),
+                jnp.asarray(pad_shard(cand.embedding, per[j], 0.0)),
+                jnp.asarray(pad_shard(cand.conf, per[j], 0.0)),
+                jnp.asarray(pad_shard(cand.color, per[j], 0.0)),
+                jnp.asarray(pad_shard(cand.dirs, per[j], 0.0)))
+        shards_pc.append(pc_j)
+        counts.append(st_j.num_active)
+    pc2 = jax.tree.map(lambda *xs: jnp.stack(xs), *shards_pc)
+    num_active = jnp.stack(counts).astype(jnp.int32)
+    scene2 = build_sharded_scene(pc2, num_active, cfg, mesh, Rw2c=scene.Rw2c)
+    params = dict(state.params, points=pc2)
+    opt_state = _reinit_opt_state(params, cfg, state.step)
+    def put(tree, spec_tree):
+        return jax.tree.map(
+            lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+            tree, spec_tree)
+    pspec = {"mlp": jax.tree.map(lambda _: P(), params["mlp"]),
+             "points": jax.tree.map(lambda _: P("mp"), pc2)}
+    new_state = TrainState(params=put(params, pspec), opt_state=opt_state,
+                           step=state.step, key=state.key)
+    added = int(jnp.sum(num_active) - jnp.sum(scene.num_active))
+    return new_state, scene2, added
 
 
 def create_sharded_train_state(key, agg_params, pc: PointCloud,

@@ -64,8 +64,10 @@ def make_neural2d_step(cfg: PointNeRFConfig, head: NeuralRenderer,
                 if generator is not None else 0)
 
     def loss_fn(params, st, grid, batch: RayBatch, gt_rgb, frame_id, key):
-        out = render_rays(params["mlp"], params["points"], st, grid, batch,
-                          cfg, key=key, train=True)
+        from .optim import freeze_points
+        out = render_rays(params["mlp"],
+                          freeze_points(params["points"], cfg.points),
+                          st, grid, batch, cfg, key=key, train=True)
         feat_img = out.coarse_raycolor.reshape(1, patch, patch, C)
         if generator is not None:
             z = params["style"][frame_id]                   # [z_dim]

@@ -56,6 +56,22 @@ def apply_grad_flags(pc_grads: PointCloud, cfg: PointsConfig) -> PointCloud:
     )
 
 
+def freeze_points(pc: PointCloud, cfg: PointsConfig) -> PointCloud:
+    """stop_gradient on frozen attributes BEFORE the forward pass: XLA then
+    drops their entire backward scatter-add (the [R*SR*K] -> [N] payload-grad
+    scatters are among the most expensive ops in the step; zeroing grads
+    after the fact still pays for them)."""
+    def f(x, on):
+        return x if on else jax.lax.stop_gradient(x)
+    return PointCloud(
+        xyz=f(pc.xyz, cfg.xyz_grad),
+        features=f(pc.features, cfg.feat_grad),
+        conf=f(pc.conf, cfg.conf_grad),
+        color=f(pc.color, cfg.color_grad),
+        dirs=f(pc.dirs, cfg.dir_grad),
+    )
+
+
 def alter_mask(step, alter_step: int):
     """(mlp_active, points_active) for the alternation schedule (_ori.py:214-217)."""
     if alter_step == 0:

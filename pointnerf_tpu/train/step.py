@@ -18,7 +18,8 @@ from ..models.losses import compute_losses, mse2psnr
 from ..models.points import PointCloud, PointCloudStatic
 from ..models.renderer import RayBatch, RenderOutput, render_rays
 from ..ops.grid import PointGrid, build_grid
-from .optim import alter_mask, apply_grad_flags, make_optimizer, masked_updates
+from .optim import (alter_mask, apply_grad_flags, freeze_points,
+                    make_optimizer, masked_updates)
 
 
 class TrainState(NamedTuple):
@@ -38,7 +39,8 @@ def create_train_state(key, agg_params, pc: PointCloud,
 
 def loss_fn(params, st: PointCloudStatic, grid: PointGrid, batch: RayBatch,
             cfg: PointNeRFConfig, key, compute_dtype=jnp.float32):
-    out = render_rays(params["mlp"], params["points"], st, grid, batch, cfg,
+    pc = freeze_points(params["points"], cfg.points)
+    out = render_rays(params["mlp"], pc, st, grid, batch, cfg,
                       key=key, train=True, compute_dtype=compute_dtype)
     total, items = compute_losses(out, batch.gt_image, cfg.loss)
     items["psnr_masked"] = mse2psnr(items.get(

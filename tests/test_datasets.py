@@ -141,3 +141,24 @@ def test_dtu_dataset(tmp_path):
     assert group["depth_values"][0] == 425.0
     item = ds.get_item(0, random_sample="random", random_sample_size=3)
     assert item["raydir"].shape == (9, 3)
+
+
+def test_waymo_dataset(tmp_path):
+    rng = np.random.RandomState(0)
+    n = 12
+    np.savez(str(tmp_path / "seq0.npz"),
+             images=(rng.rand(n, 3, 16, 20) * 255).astype(np.float32),
+             poses=np.tile(np.eye(4, dtype=np.float32), (n, 1, 1)),
+             hwf=np.array([16, 20, 25.0]),
+             intrinsic=np.array([[25.0, 0, 10, 0], [0, 25.0, 8, 0],
+                                 [0, 0, 1, 0], [0, 0, 0, 1]], np.float32),
+             oints_xyz_all=rng.randn(100, 3).astype(np.float32))
+    cfg = DataConfig(dataset_name="waymo_ft", data_root=str(tmp_path),
+                     scan="seq0")
+    ds = find_dataset_class_by_name("waymo_ft")(cfg, split="train")
+    assert len(ds) == n - 2  # every 10th frame held out (ids 0, 10)
+    item = ds.get_item(0, random_sample="random", random_sample_size=3)
+    assert item["raydir"].shape == (9, 3)
+    assert "frame_id" in item
+    cloud = ds.load_init_points()
+    assert cloud["xyz"].shape == (100, 3)

@@ -113,3 +113,46 @@ def test_gen_scene_points_end_to_end():
     assert out["conf"].shape == (n, 1)
     for v in out.values():
         assert np.isfinite(v).all()
+
+
+def test_trilinear_volume_sampling():
+    from pointnerf_tpu.mvs.mvsnerf import trilinear_sample_volume
+    vol = np.zeros((4, 4, 4, 2), np.float32)
+    vol[2, 1, 3] = [5.0, -1.0]
+    # exact grid point
+    ndc = jnp.asarray([[3 / 3, 1 / 3, 2 / 3]])
+    out = np.asarray(trilinear_sample_volume(jnp.asarray(vol), ndc))
+    np.testing.assert_allclose(out[0], [5.0, -1.0], atol=1e-6)
+    # midpoint between two cells interpolates
+    vol2 = np.zeros((2, 1, 1, 1), np.float32)
+    vol2[0, 0, 0] = 2.0
+    vol2[1, 0, 0] = 4.0
+    out2 = trilinear_sample_volume(jnp.asarray(vol2),
+                                   jnp.asarray([[0.0, 0.0, 0.5]]))
+    np.testing.assert_allclose(np.asarray(out2)[0], [3.0], atol=1e-6)
+
+
+def test_render_mvsnerf_end_to_end():
+    import jax
+    from pointnerf_tpu.mvs.mvsnerf import MVSNeRFDecoder, render_mvsnerf
+    rng = np.random.RandomState(0)
+    V, H, W = 2, 16, 16
+    D, h, w, C = 8, 4, 4, 8
+    volume = jnp.asarray(rng.rand(D, h, w, C), jnp.float32)
+    images = jnp.asarray(rng.rand(V, H, W, 3), jnp.float32)
+    K = np.array([[20.0, 0, 8], [0, 20.0, 8], [0, 0, 1]], np.float32)
+    Ks = jnp.asarray(np.stack([K] * V))
+    w2cs = jnp.asarray(np.stack([np.eye(4, dtype=np.float32)] * V))
+    dec = MVSNeRFDecoder(width=32, depth=3, skips=(2,))
+    campos = jnp.zeros(3)
+    raydir = jnp.asarray(rng.rand(10, 3).astype(np.float32) * 0.2
+                         + np.array([0, 0, 1.0], np.float32))
+    feat_dim = C + 3 * V
+    params = dec.init(jax.random.PRNGKey(0), jnp.zeros((1, 3)),
+                      jnp.zeros((1, 3)), jnp.zeros((1, feat_dim)))["params"]
+    rgb, depth, weights = render_mvsnerf(
+        params, dec, volume, images, Ks, w2cs, campos, raydir,
+        near=2.0, far=6.0, n_samples=16, bg_color=jnp.ones(3))
+    assert rgb.shape == (10, 3)
+    assert depth.shape == (10,)
+    assert np.isfinite(np.asarray(rgb)).all()

@@ -112,3 +112,42 @@ def test_dp_only_mesh():
     batch = make_batch(campos, camrot, R=64)
     state, items = step(state, scene, batch)
     assert np.isfinite(float(items["loss_total"]))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_prune_and_grow():
+    cfg = sharded_cfg()
+    xyz, campos, camrot = synthetic_scene(n_pts=400)
+    mesh = make_mesh(dp=4, mp=2)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    pc_s, num_active = partition_points(xyz, k1, cfg, mp=2)
+    # half the points below the prune threshold
+    conf = pc_s.conf
+    conf = conf.at[:, :100, 0].set(0.01)
+    pc_s = pc_s._replace(conf=conf)
+    params = init_aggregator_params(k2, cfg.agg)
+    scene = build_sharded_scene(pc_s, num_active, cfg, mesh)
+    state, scene = create_sharded_train_state(
+        jax.random.PRNGKey(3), params, pc_s, scene, cfg, mesh)
+
+    from pointnerf_tpu.parallel.sharded import sharded_grow, sharded_prune
+    from pointnerf_tpu.train.grow import ProbeCandidates
+    state, scene, kept = sharded_prune(state, scene, cfg, mesh)
+    assert kept == 200
+    assert int(jnp.sum(scene.num_active)) == 200
+
+    F = cfg.agg.point_features_dim
+    cand = ProbeCandidates(
+        xyz=np.zeros((10, 3), np.float32),
+        embedding=np.ones((10, F), np.float32),
+        color=np.full((10, 3), 0.5, np.float32),
+        dirs=np.zeros((10, 3), np.float32),
+        conf=np.full((10, 1), 0.3, np.float32))
+    state, scene, added = sharded_grow(state, scene, cand, cfg, mesh)
+    assert added == 10
+    assert int(jnp.sum(scene.num_active)) == 210
+    # training still works after maintenance
+    step = make_sharded_train_step(cfg, mesh)
+    batch = make_batch(campos, camrot, R=64)
+    state, items = step(state, scene, batch)
+    assert np.isfinite(float(items["loss_total"]))
