@@ -110,12 +110,27 @@ def gather_points(pc: PointCloud, xyz_pers: jnp.ndarray,
     (computed once per view like point_xyz_pers_tensor, :635).
     sample_pidx: [R, SR, K] (-1 invalid; invalid gathers clamp to 0 and are
     masked downstream, matching torch.clamp(sample_pidx, min=0) :790).
-    """
+
+    All payloads ride ONE concatenated table: on TPU a [R*SR*K]-indexed
+    gather costs roughly the same regardless of row width, so one 45-wide
+    gather (and its single backward scatter-add) replaces six narrow ones —
+    a large fraction of the step on profile."""
     mask = sample_pidx >= 0
     idx = jnp.maximum(sample_pidx, 0)
+    F = pc.features.shape[-1]
+    table = jnp.concatenate(
+        [pc.xyz, xyz_pers, pc.features, pc.conf, pc.color, pc.dirs], axis=-1)
+    rows = table[idx]                                    # [R,SR,K, 13+F]
+    o = 0
+
+    def take(n):
+        nonlocal o
+        out = rows[..., o:o + n]
+        o += n
+        return out
     return SampledPoints(
-        xyz=pc.xyz[idx], xyz_pers=xyz_pers[idx], features=pc.features[idx],
-        conf=pc.conf[idx], color=pc.color[idx], dirs=pc.dirs[idx], mask=mask)
+        xyz=take(3), xyz_pers=take(3), features=take(F),
+        conf=take(1), color=take(3), dirs=take(3), mask=mask)
 
 
 def prune(pc: PointCloud, st: PointCloudStatic, thresh: float):

@@ -209,12 +209,17 @@ def _knn_chunk(centers, center_valid, xyz, grid, meta, cfg: QueryConfig):
         cand_ok = cand_ok & (lay <= L[:, None, None])
 
     d2_flat = jnp.where(cand_ok, d2, jnp.inf).reshape(C, Q * P)
-    neg, top_i = jax.lax.top_k(-d2_flat, K)               # [C, K]
-    top_d2 = -neg
-    # gather ids only for the K winners
     if grid.nbr_xyz is not None:
-        top_pid = jnp.take_along_axis(grid.nbr_pid[dsc], top_i, axis=-1)
+        # carry pids through ONE two-operand sort instead of top_k + a
+        # separate [C*K]-indexed winner gather (which re-reads the whole
+        # [C, Q*P] pid block; the sort costs ~1/4 of that take on profile)
+        pid_flat = grid.nbr_pid[dsc].reshape(C, Q * P)
+        d2_sorted, pid_sorted = jax.lax.sort((d2_flat, pid_flat), num_keys=1)
+        top_d2 = d2_sorted[:, :K]
+        top_pid = pid_sorted[:, :K]
     else:
+        neg, top_i = jax.lax.top_k(-d2_flat, K)           # [C, K]
+        top_d2 = -neg
         win_slot = jnp.take_along_axis(slot_c, top_i // P, axis=-1)  # [C, K]
         top_pid = grid.bucket_pnt[win_slot, top_i % P]
     ok = jnp.isfinite(top_d2)

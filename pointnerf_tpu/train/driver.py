@@ -350,9 +350,55 @@ def train_dataset_scene(dataset_name: str, data_root: str, scan: str,
                        resume=resume)
 
 
+def test_dataset_scene(dataset_name: str, data_root: str, scan: str,
+                       run_dir: str, cfg: Optional[PointNeRFConfig] = None,
+                       save_images: bool = True):
+    """Test-only evaluation from the latest checkpoint (run/test_ft.py):
+    render the full test split, report PSNR/SSIM, save images."""
+    from ..config import DataConfig, scene_config
+    from ..data import find_dataset_class_by_name
+    from ..models.aggregator import init_aggregator_params
+    from ..models.points import make_point_cloud
+
+    dcfg = DataConfig(dataset_name=dataset_name, data_root=data_root,
+                      scan=scan)
+    cls = find_dataset_class_by_name(dataset_name)
+    train_ds = cls(dcfg, split="train")
+    test_ds = cls(dcfg, split="test")
+    cloud = train_ds.load_init_points()
+    if cfg is None:
+        cfg = scene_config(cloud["xyz"], near=float(train_ds.near),
+                           far=float(train_ds.far))
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(cfg.train.seed), 3)
+    pc, st = make_point_cloud(cloud["xyz"], k1, cfg.points,
+                              cfg.agg.point_features_dim,
+                              color=cloud.get("color"),
+                              dirs=cloud.get("normal"))
+    state = create_train_state(k3, init_aggregator_params(k2, cfg.agg), pc,
+                               cfg)
+    path = latest_checkpoint(run_dir)
+    if path is None:
+        raise SystemExit(f"no checkpoint under {run_dir}")
+    state, meta = load_checkpoint(path, state)
+    if meta.get("num_active") is not None:
+        st = st._replace(num_active=jnp.asarray(meta["num_active"], jnp.int32))
+    grid = refresh_grid(state.params["points"], st, cfg)
+    vis = Visualizer(run_dir, name="test")
+    items = [test_ds.get_item(i) for i in range(len(test_ds))]
+    m = evaluate(state.params, st, grid, cfg, items,
+                 (test_ds.width, test_ds.height), vis, int(state.step),
+                 save_images=save_images)
+    print(f"[test] step {int(state.step)}: psnr={m['psnr']:.2f} "
+          f"ssim={m['ssim']:.4f} over {len(items)} frames")
+    return m
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--demo", action="store_true")
+    ap.add_argument("--test", action="store_true",
+                    help="evaluate the latest checkpoint on the test split "
+                         "(use with --dataset/--data-root/--scan)")
     ap.add_argument("--n2d-demo", action="store_true",
                     help="feature rendering + 2D neural-render head demo")
     ap.add_argument("--ff-demo", action="store_true",
@@ -370,7 +416,10 @@ def main():
     args = ap.parse_args()
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
-    if args.dataset:
+    if args.dataset and args.test:
+        test_dataset_scene(args.dataset, args.data_root, args.scan,
+                           run_dir=args.run_dir)
+    elif args.dataset:
         train_dataset_scene(args.dataset, args.data_root, args.scan,
                             run_dir=args.run_dir, max_steps=args.steps)
     elif args.demo:

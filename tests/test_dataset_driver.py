@@ -56,3 +56,31 @@ def test_train_dataset_scene_runs(tmp_path):
         run_dir=str(tmp_path / "run"), max_steps=10, cfg=cfg, resume=False)
     assert int(state.step) == 10
     assert hist["eval"] and np.isfinite(hist["eval"][-1]["psnr"])
+
+
+def test_test_dataset_scene_from_checkpoint(tmp_path):
+    """run/test_ft.py equivalent: train a few steps, then test-only eval
+    from the saved checkpoint."""
+    import dataclasses
+    import numpy as np
+    from pointnerf_tpu.train.driver import (test_dataset_scene,
+                                            train_dataset_scene)
+    root = tmp_path / "lego"
+    _fixture_scene(root)
+    cfg = scene_config(
+        np.random.RandomState(0).normal(0, 0.3, (300, 3)).astype(np.float32),
+        vox_res=16, K=4, SR=8, z_depth_dim=32, near=2.0, far=4.5)
+    cfg = cfg.replace(
+        train=dataclasses.replace(cfg.train, random_sample_size=6,
+                                  maximum_step=5, prune_iter=0, prob_freq=0,
+                                  test_freq=0, save_iter_freq=5,
+                                  print_freq=5),
+        query=dataclasses.replace(cfg.query, max_o=4096, P=8,
+                                  knn_chunk=2048))
+    train_dataset_scene("nerf_synth360_ft", str(tmp_path), "lego",
+                        run_dir=str(tmp_path / "run"), max_steps=5, cfg=cfg,
+                        resume=False)
+    m = test_dataset_scene("nerf_synth360_ft", str(tmp_path), "lego",
+                           run_dir=str(tmp_path / "run"), cfg=cfg,
+                           save_images=False)
+    assert np.isfinite(m["psnr"])
