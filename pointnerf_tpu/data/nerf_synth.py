@@ -23,6 +23,7 @@ from .ply import load_ply
 
 
 @register_dataset("nerf_synth360_ft")
+@register_dataset("nerf_synth_ft")
 class NerfSynthDataset:
     def __init__(self, cfg: DataConfig, split: Optional[str] = None,
                  bg_color=(1.0, 1.0, 1.0)):

@@ -151,3 +151,14 @@ def test_sharded_prune_and_grow():
     batch = make_batch(campos, camrot, R=64)
     state, items = step(state, scene, batch)
     assert np.isfinite(float(items["loss_total"]))
+
+
+def test_multihost_helpers_single_process():
+    from pointnerf_tpu.parallel import multihost
+    # single process, no coordinator: no-op
+    assert multihost.initialize() is False
+    s = multihost.host_batch_slice(3600)
+    assert (s.stop - s.start) == 3600 // jax.process_count()
+    mesh = make_mesh(dp=min(8, len(jax.devices())), mp=1)
+    arrs = multihost.global_ray_batch(mesh, {"x": np.ones((3600, 3))})
+    assert arrs["x"].shape == (3600, 3)
