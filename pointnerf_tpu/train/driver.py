@@ -38,6 +38,41 @@ from .step import (TrainState, create_train_state, eval_step, refresh_grid,
                    train_step)
 
 
+class ItemPrefetcher:
+    """Background-thread item generation: overlaps the host-side ray
+    sampling / GT assembly with device compute (the real on-chip run was
+    host-bound at ~55% device utilization without it). The reference gets
+    the same overlap from torch DataLoader workers (data/__init__.py:56-87).
+    """
+
+    def __init__(self, item_fn, start_step: int, depth: int = 4):
+        import queue
+        import threading
+        self._q = queue.Queue(maxsize=depth)
+        self._stop = threading.Event()
+
+        def worker():
+            import queue as _queue
+            step = start_step
+            while not self._stop.is_set():
+                step += 1
+                payload = (step, item_fn(step))
+                while not self._stop.is_set():
+                    try:
+                        self._q.put(payload, timeout=1.0)
+                        break
+                    except _queue.Full:
+                        continue
+        self._t = threading.Thread(target=worker, daemon=True)
+        self._t.start()
+
+    def get(self):
+        return self._q.get()
+
+    def close(self):
+        self._stop.set()
+
+
 def _to_batch(item: Dict, cfg: PointNeRFConfig) -> RayBatch:
     return RayBatch(
         campos=jnp.asarray(item["campos"]),
@@ -104,6 +139,7 @@ def train_scene(cfg: PointNeRFConfig,
     t0 = time.time()
 
     step_i = int(state.step)
+    prefetch = ItemPrefetcher(train_items_fn, start_step=step_i)
     while step_i < max_steps:
         step_i += 1
         # ---- prune (train_ft.py:841-849) -------------------------------
@@ -120,7 +156,9 @@ def train_scene(cfg: PointNeRFConfig,
             print(f"[grow] step {step_i}: +{added} points "
                   f"(total {int(st.num_active)})")
 
-        batch = _to_batch(train_items_fn(step_i), cfg)
+        fetched_step, item = prefetch.get()
+        assert fetched_step == step_i, (fetched_step, step_i)
+        batch = _to_batch(item, cfg)
         state, items = train_step(state, st, grid, batch, cfg)
         vis.accumulate_losses({k: v for k, v in items.items()})
 
@@ -141,6 +179,7 @@ def train_scene(cfg: PointNeRFConfig,
         if t.save_iter_freq > 0 and step_i % t.save_iter_freq == 0:
             save_checkpoint(run_dir, state,
                             {"num_active": int(st.num_active)})
+    prefetch.close()
     save_checkpoint(run_dir, state, {"num_active": int(st.num_active)})
     return state, st, history
 
