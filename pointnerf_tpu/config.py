@@ -283,6 +283,20 @@ class PointNeRFConfig:
         return PointNeRFConfig(**kw)
 
 
+def jit_canonical(cfg: PointNeRFConfig) -> PointNeRFConfig:
+    """Zero out fields that never enter jitted computation (schedules,
+    logging, IO cadence) so configs differing only in those share one
+    compiled executable / compile-cache entry. Use the ORIGINAL cfg for the
+    driver loop; pass the canonical one to train_step/eval_step."""
+    return cfg.replace(
+        train=dataclasses.replace(
+            cfg.train, maximum_step=0, prune_iter=0, prune_max_iter=0,
+            prune_thresh=0.0, prob_freq=0, prob_num_step=0, prob_thresh=0.0,
+            prob_mul=0.0, save_iter_freq=0, test_freq=0, print_freq=0,
+            seed=0, random_sample="", random_sample_size=0, batch_size=0),
+        data=DataConfig())
+
+
 def ranges_from_cloud(xyz, pad_frac: float = 0.05
                       ) -> Tuple[float, float, float, float, float, float]:
     """Scene AABB from a point cloud, padded — the static-shape stand-in for

@@ -135,6 +135,10 @@ def train_scene(cfg: PointNeRFConfig,
     max_steps = max_steps or cfg.train.maximum_step
     log_every = log_every or cfg.train.print_freq
     t = cfg.train
+    # schedule-only fields are zeroed in the config used as the jit key so
+    # runs differing only in cadence share one compiled step
+    from ..config import jit_canonical
+    jcfg = jit_canonical(cfg)
     history = {"loss": [], "eval": []}
     t0 = time.time()
 
@@ -159,7 +163,7 @@ def train_scene(cfg: PointNeRFConfig,
         fetched_step, item = prefetch.get()
         assert fetched_step == step_i, (fetched_step, step_i)
         batch = _to_batch(item, cfg)
-        state, items = train_step(state, st, grid, batch, cfg)
+        state, items = train_step(state, st, grid, batch, jcfg)
         vis.accumulate_losses({k: v for k, v in items.items()})
 
         if step_i % log_every == 0:

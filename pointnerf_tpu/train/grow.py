@@ -70,7 +70,9 @@ def render_full_frame(params, st, grid, cfg: PointNeRFConfig, item: Dict,
             near=jnp.asarray(cfg.render.near_plane, jnp.float32),
             far=jnp.asarray(cfg.render.far_plane, jnp.float32),
             gt_image=None)
-        out = eval_step(params, st, grid, batch, cfg, prob=prob)
+        from ..config import jit_canonical
+        out = eval_step(params, st, grid, batch, jit_canonical(cfg),
+                        prob=prob)
         n = e - s
         px, py = pix[s:e, 0], pix[s:e, 1]
         for k in keys:

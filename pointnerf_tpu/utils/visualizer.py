@@ -42,11 +42,20 @@ class Visualizer:
         self._acc.clear()
 
     def accumulate_losses(self, items: Dict[str, float]):
+        """Accepts scalars OR device arrays. Device values are held as-is
+        (async futures) and only materialized at print time — calling
+        float() per step would force a host-device sync every iteration,
+        which dominates the step on high-latency links."""
         for k, v in items.items():
-            self._acc.setdefault(k, []).append(float(v))
+            self._acc.setdefault(k, []).append(v)
 
     def print_losses(self, step: int):
-        means = {k: float(np.mean(v)) for k, v in self._acc.items()}
+        def mean(vs):
+            if hasattr(vs[0], "addressable_shards"):  # jax device scalars:
+                import jax.numpy as jnp               # ONE stacked transfer,
+                return float(jnp.mean(jnp.stack(vs)))  # not len(vs) round trips
+            return float(np.mean(vs))
+        means = {k: mean(vs) for k, vs in self._acc.items()}
         dt = time.time() - self._t0
         msg = f"[{self.name}] step {step} t={dt:.1f}s " + " ".join(
             f"{k}={v:.5f}" for k, v in sorted(means.items()))
