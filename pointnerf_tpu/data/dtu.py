@@ -61,6 +61,11 @@ class DtuDataset:
             os.path.join(self.root, "Cameras", "pair.txt"))
         self.total = len(self.pairs)
         self.id_list = list(range(self.total))
+        probe = self._img(self.pairs[0][0])
+        self.height, self.width = probe.shape[:2]
+        _, self.intrinsic, dm, di = self._cam(self.pairs[0][0])
+        self.near = float(dm)
+        self.far = float(dm + di * n_depths)
 
     def __len__(self):
         return self.total

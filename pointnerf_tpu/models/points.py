@@ -75,8 +75,11 @@ def make_point_cloud(xyz: np.ndarray, key, cfg: PointsConfig,
     xyz_p = np.full((cap, 3), DEAD_XYZ, np.float32)
     xyz_p[:n] = xyz
     if features is None:
-        features = np.asarray(
-            jax.random.uniform(kf, (n, feature_dim), jnp.float32) * 0.01)
+        if cfg.feature_init_method == "zeros":
+            features = np.zeros((n, feature_dim), np.float32)
+        else:  # 'rand' — torch.rand(..)*0.01 (run/train_ft.py:740)
+            features = np.asarray(
+                jax.random.uniform(kf, (n, feature_dim), jnp.float32) * 0.01)
     if conf is None:
         conf = np.full((n, 1), cfg.default_conf, np.float32)
     if color is None:

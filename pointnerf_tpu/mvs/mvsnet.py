@@ -149,10 +149,14 @@ class MVSNet(nn.Module):
 
         Returns (depth [h,w], photometric_confidence [h,w],
         features [V,h,w,32], prob_volume [D,h,w])."""
+        H, W = imgs.shape[1:3]
+        D = depth_values.shape[0]
+        assert H % 32 == 0 and W % 32 == 0 and D % 8 == 0, (
+            f"MVSNet needs H,W divisible by 32 and D by 8 (UNet strides); "
+            f"got H={H} W={W} D={D}")
         if features is None:
             features = self.extract_features(imgs, train)
         V = features.shape[0]
-        D = depth_values.shape[0]
 
         # variance cost volume, one warped view at a time (scan = O(1) mem)
         def body(carry, inp):

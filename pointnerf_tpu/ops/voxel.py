@@ -78,9 +78,7 @@ def segment_min_arg(values: jnp.ndarray, segment_ids: jnp.ndarray,
                     num_segments: int) -> jnp.ndarray:
     """Index of the per-segment minimum (scatter_min's argmin output,
     mvs_utils.py:554-559). Invalid (empty) segments return 0."""
-    n = values.shape[0]
-    order = jnp.lexsort((values, segment_ids)) if hasattr(jnp, "lexsort") else \
-        jnp.argsort(segment_ids * 0 + values)  # fallback unused on jax>=0.4
+    order = jnp.lexsort((values, segment_ids))
     sseg = segment_ids[order]
     first = jnp.concatenate([jnp.ones((1,), bool), sseg[1:] != sseg[:-1]])
     return jnp.zeros((num_segments,), jnp.int32).at[

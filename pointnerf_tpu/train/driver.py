@@ -108,8 +108,13 @@ def train_scene(cfg: PointNeRFConfig,
                 probe_items: List[Dict], wh: Tuple[int, int],
                 run_dir: str = "runs/scene", max_steps: Optional[int] = None,
                 resume: bool = False, log_every: Optional[int] = None,
-                target_psnr: Optional[float] = None):
+                target_psnr: Optional[float] = None,
+                features: Optional[np.ndarray] = None,
+                conf: Optional[np.ndarray] = None):
     """Optimize one scene. `train_items_fn(step)` yields a ray-batch item.
+    `features`/`conf` carry MVS-extracted payloads when available
+    (gen_points_filter_embeddings path); otherwise features init per
+    cfg.points.feature_init_method.
 
     Returns (state, st, history dict)."""
     xyz, color, normals = scene_pts
@@ -117,7 +122,10 @@ def train_scene(cfg: PointNeRFConfig,
     vis.save_options(cfg.to_json())
 
     k1, k2, k3 = jax.random.split(jax.random.PRNGKey(cfg.train.seed), 3)
+    if features is not None and features.shape[1] != cfg.agg.point_features_dim:
+        features = None  # dim mismatch with the aggregator: fall back to init
     pc, st = make_point_cloud(xyz, k1, cfg.points, cfg.agg.point_features_dim,
+                              features=features, conf=conf,
                               color=color, dirs=normals)
     params = init_aggregator_params(k2, cfg.agg)
     state = create_train_state(k3, params, pc, cfg)
@@ -344,10 +352,49 @@ def n2d_demo(steps: int = 40, patch: int = 16):
     return state
 
 
+def mvs_init_cloud(ds, mvs_variables=None, n_groups: int = 8,
+                   point_features_dim: int = 32,
+                   depth_conf_thresh: float = 0.8,
+                   geo_cnsst_num: Optional[int] = None
+                   ) -> Dict[str, np.ndarray]:
+    """MVS-based scene point initialization from a dataset's view groups
+    (reference gen_points_filter_embeddings). `mvs_variables` should come
+    from a feed-forward-trained MvsPointsInit (train/feedforward.py); fresh
+    weights still yield a geometrically filtered, trainable cloud."""
+    from ..mvs.points_init import (MvsPointsInit, gen_scene_points,
+                                   init_mvs_points)
+    g0 = ds.get_mvs_item(0)
+    V, H, W = g0["images"].shape[:3]
+    model = MvsPointsInit(point_features_dim=point_features_dim)
+    if mvs_variables is None:
+        mvs_variables = init_mvs_points(model, jax.random.PRNGKey(0),
+                                        V=V, H=H, W=W)
+    outs = []
+    for gi in range(min(n_groups, len(ds))):
+        g = ds.get_mvs_item(gi)
+        gc = geo_cnsst_num if geo_cnsst_num is not None else \
+            min(3, g["images"].shape[0] - 1)
+        out = gen_scene_points(
+            mvs_variables["params"], model, g["images"], g["Ks"], g["w2cs"],
+            (float(g["depth_values"][0]), float(g["depth_values"][-1])),
+            n_depths=min(64, len(g["depth_values"])),
+            depth_conf_thresh=depth_conf_thresh, geo_cnsst_num=gc,
+            batch_stats=mvs_variables.get("batch_stats"))
+        outs.append(out)
+    return {
+        "xyz": np.concatenate([o["xyz"] for o in outs]),
+        "feature": np.concatenate([o["embedding"] for o in outs]),
+        "color": np.concatenate([o["color"] for o in outs]),
+        "normal": np.concatenate([o["dirs"] for o in outs]),
+        "conf": np.concatenate([o["conf"] for o in outs]),
+    }
+
+
 def train_dataset_scene(dataset_name: str, data_root: str, scan: str,
                         run_dir: str, max_steps: Optional[int] = None,
                         cfg: Optional[PointNeRFConfig] = None,
-                        resume: bool = True):
+                        resume: bool = True,
+                        mvs_init_kwargs: Optional[Dict] = None):
     """Per-scene optimization on a real dataset (run/train_ft.py main path):
     load the init cloud, auto-size the query config from its AABB, sample
     `random_sample_size²` rays per step, evaluate on the test split."""
@@ -360,7 +407,15 @@ def train_dataset_scene(dataset_name: str, data_root: str, scan: str,
     train_ds = cls(dcfg, split="train")
     test_ds = cls(dcfg, split="test")
 
-    cloud = train_ds.load_init_points()
+    try:
+        cloud = train_ds.load_init_points()
+    except (FileNotFoundError, AttributeError):
+        # no PLY/sensor cloud: MVS initialization (the reference's
+        # gen_points_filter_embeddings path, run/train_ft.py:54-170) for
+        # datasets exposing MVS view groups (data/dtu.py)
+        if not hasattr(train_ds, "get_mvs_item"):
+            raise
+        cloud = mvs_init_cloud(train_ds, **(mvs_init_kwargs or {}))
     xyz = cloud["xyz"]
     if cfg is None:
         cfg = scene_config(xyz, near=float(train_ds.near),
@@ -390,7 +445,8 @@ def train_dataset_scene(dataset_name: str, data_root: str, scan: str,
                    range(0, len(train_ds), max(1, len(train_ds) // 4))]
     return train_scene(cfg, (xyz, color, normals), train_item, test_items,
                        probe_items, wh, run_dir=run_dir, max_steps=max_steps,
-                       resume=resume)
+                       resume=resume, features=cloud.get("feature"),
+                       conf=cloud.get("conf"))
 
 
 def test_dataset_scene(dataset_name: str, data_root: str, scan: str,
