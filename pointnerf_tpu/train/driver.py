@@ -210,6 +210,73 @@ def render_video(params, st, grid, cfg: PointNeRFConfig, items: List[Dict],
     return vis.gen_video(frames, name=name, fps=fps)
 
 
+def train_scene_sharded(cfg: PointNeRFConfig, mesh,
+                        scene_pts: Tuple[np.ndarray, np.ndarray, np.ndarray],
+                        train_items_fn, test_items: List[Dict],
+                        wh: Tuple[int, int], run_dir: str = "runs/sharded",
+                        max_steps: Optional[int] = None,
+                        log_every: Optional[int] = None):
+    """Per-scene optimization over a (dp, mp) device mesh: rays
+    data-parallel, point cloud + grids + Adam state sharded; prune runs
+    per shard; eval reassembles full rays across the mesh. The multi-chip
+    analog of train_scene (the reference's DDP loop, train_ddp.py:804-937).
+    """
+    from ..config import jit_canonical
+    from ..parallel import (build_sharded_scene, create_sharded_train_state,
+                            make_sharded_eval_step, make_sharded_train_step,
+                            partition_points)
+    from ..parallel.sharded import sharded_prune
+
+    xyz, color, normals = scene_pts
+    mp = mesh.shape["mp"]
+    vis = Visualizer(run_dir, name=os.path.basename(run_dir))
+    vis.save_options(cfg.to_json())
+    jcfg = jit_canonical(cfg)
+
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(cfg.train.seed), 3)
+    pc_s, num_active = partition_points(xyz, k1, cfg, mp=mp, color=color,
+                                        dirs=normals)
+    params = init_aggregator_params(k2, cfg.agg)
+    scene = build_sharded_scene(pc_s, num_active, jcfg, mesh)
+    state, scene = create_sharded_train_state(k3, params, pc_s, scene, jcfg,
+                                              mesh)
+    step_fn = make_sharded_train_step(jcfg, mesh)
+    eval_fn = make_sharded_eval_step(jcfg, mesh)
+
+    t = cfg.train
+    max_steps = max_steps or t.maximum_step
+    log_every = log_every or t.print_freq
+    history = {"loss": [], "eval": []}
+    step_i = int(state.step)
+    prefetch = ItemPrefetcher(train_items_fn, start_step=step_i)
+    while step_i < max_steps:
+        step_i += 1
+        if (t.prune_iter > 0 and step_i % t.prune_iter == 0
+                and step_i <= t.prune_max_iter):
+            state, scene, kept = sharded_prune(state, scene, jcfg, mesh)
+            print(f"[prune] step {step_i}: kept {kept} points")
+        fetched_step, item = prefetch.get()
+        assert fetched_step == step_i
+        state, items = step_fn(state, scene, _to_batch(item, cfg))
+        vis.accumulate_losses(items)
+        if step_i % log_every == 0:
+            means = vis.print_losses(step_i)
+            history["loss"].append((step_i, means.get("loss_total", 0.0)))
+        if t.test_freq > 0 and step_i % t.test_freq == 0 and test_items:
+            psnrs = []
+            for item_t in test_items:
+                out = eval_fn(state.params, scene, _to_batch(item_t, cfg))
+                img = np.asarray(out.coarse_raycolor)
+                psnrs.append(psnr_np(img, np.asarray(item_t["gt_image"])))
+            m = {"step": step_i, "psnr": float(np.mean(psnrs))}
+            history["eval"].append(m)
+            print(f"[eval] step {step_i}: psnr={m['psnr']:.2f}")
+    prefetch.close()
+    save_checkpoint(run_dir, state,
+                    {"num_active": [int(n) for n in scene.num_active]})
+    return state, scene, history
+
+
 def demo(steps: int = 300, n_pts: int = 2048, wh=(64, 64),
          run_dir: str = "runs/demo"):
     """CPU-sized end-to-end: synthetic sphere, analytic GT, a few hundred

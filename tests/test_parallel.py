@@ -162,3 +162,34 @@ def test_multihost_helpers_single_process():
     mesh = make_mesh(dp=min(8, len(jax.devices())), mp=1)
     arrs = multihost.global_ray_batch(mesh, {"x": np.ones((3600, 3))})
     assert arrs["x"].shape == (3600, 3)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_driver_loop(tmp_path):
+    """Full sharded per-scene loop: train + per-shard prune + eval on the
+    virtual mesh (the multi-chip train_scene analog)."""
+    import dataclasses as dc
+    from pointnerf_tpu.data.synthetic import (ring_cameras, sphere_scene,
+                                              view_ray_batch)
+    from pointnerf_tpu.train.driver import train_scene_sharded
+
+    cfg = sharded_cfg()
+    cfg = cfg.replace(train=dc.replace(
+        cfg.train, maximum_step=40, prune_iter=20, prune_max_iter=40,
+        prune_thresh=0.05, prob_freq=0, test_freq=20, print_freq=10,
+        save_iter_freq=0))
+    mesh = make_mesh(dp=4, mp=2)
+    xyz, color, normals = sphere_scene(n_pts=512)
+    views = ring_cameras(n_views=3, wh=(32, 32), focal=40.0)
+
+    def train_item(step):
+        return view_ray_batch(*views[step % 2], (32, 32), n_rays=64,
+                              seed=step)
+
+    test_items = [view_ray_batch(*views[2], (32, 32), n_rays=64, seed=999)]
+    state, scene, hist = train_scene_sharded(
+        cfg, mesh, (xyz, color, normals), train_item, test_items, (32, 32),
+        run_dir=str(tmp_path / "shrun"), max_steps=40)
+    assert int(state.step) == 40
+    assert hist["eval"] and np.isfinite(hist["eval"][-1]["psnr"])
+    assert int(jnp.sum(scene.num_active)) > 0
