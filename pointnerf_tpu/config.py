@@ -121,6 +121,8 @@ class AggregatorConfig:
     agg_alpha_xyz_mode: str = "None"
     agg_color_xyz_mode: str = "None"
     sh_degree: int = 4
+    sh_act: str = "sigmoid"          # sh_intrp activation (ref :444-449)
+    sh_dist_func: str = "sh_linear"  # sh_linear | sh_quadric (ref :452-457)
     weight_feat_dim: int = 8
     weight_xyz_freq: int = 2
 

@@ -96,7 +96,7 @@ def sphere_gt_render(campos: np.ndarray, raydir: np.ndarray,
 
 def view_ray_batch(campos, camrot, K, wh: Tuple[int, int],
                    n_rays: Optional[int] = None, seed: int = 0,
-                   radius: float = 0.5):
+                   radius: float = 0.5, view_id: Optional[int] = None):
     """Sample pixels of one view; returns dict of numpy arrays with analytic
     GT (keys mirror the reference item dict,
     data/nerf_synth360_ft_dataset.py:546-647)."""
@@ -112,4 +112,4 @@ def view_ray_batch(campos, camrot, K, wh: Tuple[int, int],
     gt = sphere_gt_render(campos, raydir, radius=radius)
     return {"campos": campos, "camrotc2w": camrot, "raydir": raydir,
             "pixel_idx": pix.astype(np.int32), "gt_image": gt,
-            "intrinsic": K}
+            "intrinsic": K, "id": view_id}

@@ -85,10 +85,14 @@ def block_dims(cfg: AggregatorConfig) -> Dict[str, int]:
         in_ch -= cfg.sh_degree ** 2
     if cfg.agg_distance_kernel == "feat_intrp":
         in_ch -= cfg.weight_feat_dim
-    if cfg.agg_feat_xyz_mode != "None":
-        in_ch += pnt_ch
+    # frequency expansion applies to the (stripped) features only — the
+    # reference's init also counts pnt_ch inside the expansion
+    # (point_aggregators.py:279-280) but its viewmlp never encodes pts, so
+    # that combination crashes there; we size to the actual runtime
     in_ch += (2 * cfg.num_feat_freqs * in_ch if cfg.num_feat_freqs > 0 else 0)
     in_ch += dist_xyz_dim if cfg.agg_intrp_order > 0 else 0
+    if cfg.agg_feat_xyz_mode != "None":
+        in_ch += pnt_ch
 
     b1_out = cfg.shading_feature_num if cfg.shading_feature_mlp_layer1 > 0 else in_ch
     b2_in = b1_out
@@ -144,10 +148,28 @@ def init_aggregator_params(key, cfg: AggregatorConfig) -> Dict:
 # Distance kernels (point_aggregators.py:355-485)
 # --------------------------------------------------------------------------
 
-def _dist_weight(cfg: AggregatorConfig, dists, pnt_mask, vsize):
+def _dist_weight(cfg: AggregatorConfig, dists, pnt_mask, vsize,
+                 features=None):
     axis_w = cfg.agg_axis_weight
     uniform_axis = axis_w is None or (axis_w[0] == 1 and axis_w[1] == 1 and axis_w[2] == 1)
     name = cfg.agg_distance_kernel
+    if name == "sh_intrp":
+        # SH-modulated inverse-distance weights (point_aggregators.py
+        # :460-470): per-neighbor direction evaluated against the point's
+        # leading sh_degree² feature channels as SH coefficients.
+        from ..ops.spherical import sh_basis
+        d3 = dists[..., :3]
+        dn = jnp.linalg.norm(d3, axis=-1)
+        dirs = d3 / jnp.clip(dn[..., None], min=1e-8)
+        shall = sh_basis(cfg.sh_degree, dirs)              # [..., deg²]
+        coefs = features[..., : cfg.sh_degree ** 2]
+        act = jnp.tanh if cfg.sh_act == "tanh" else jax.nn.sigmoid
+        if cfg.sh_dist_func == "sh_quadric":
+            df = 1.0 / jnp.clip(dn * dn, min=1e-8)
+        else:
+            df = 1.0 / jnp.clip(dn, min=1e-8)
+        w = pnt_mask * jnp.sum(act(shall * coefs), axis=-1) * df
+        return w, False
     if name == "linear":
         if uniform_axis:
             w = 1.0 / jnp.clip(jnp.linalg.norm(dists[..., :3], axis=-1), min=1e-6)
@@ -256,7 +278,8 @@ def aggregate(params: Dict, cfg: AggregatorConfig, sp: SampledPoints,
     dists = compute_dists(cfg, sp, sample_loc, sample_loc_w, sample_ray_dirs)
     dists = jnp.where(mask[..., None], dists, 0.0)
 
-    weight, pre_normed = _dist_weight(cfg, dists, maskf, vsize)
+    weight, pre_normed = _dist_weight(cfg, dists, maskf, vsize,
+                                      features=sp.features)
     if cfg.agg_weight_norm > 0 and not pre_normed:
         weight = weight / jnp.clip(jnp.sum(weight, -1, keepdims=True), min=1e-8)
 
@@ -300,18 +323,42 @@ def aggregate(params: Dict, cfg: AggregatorConfig, sp: SampledPoints,
     feat = sp.features
     if cfg.agg_distance_kernel == "sh_intrp":
         feat = feat[..., cfg.sh_degree ** 2:]
+    if cfg.agg_distance_kernel == "feat_intrp":
+        feat = feat[..., cfg.weight_feat_dim:]
     feat = jnp.where(mask[..., None], feat, 0.0)
+    feat_stripped = feat
     if cfg.num_feat_freqs > 0:
         feat = jnp.concatenate([feat, positional_encoding(feat, cfg.num_feat_freqs)], -1)
 
+    # PE'd shading-point position for the agg_*_xyz_mode hooks
+    # (reference `pts`/`pts_pnt`, viewmlp :499-506, :544-632)
+    pnt_pe = None
+    if (cfg.agg_feat_xyz_mode != "None" or cfg.agg_alpha_xyz_mode != "None"
+            or cfg.agg_color_xyz_mode != "None"):
+        pnt_pe = (positional_encoding(sample_loc_w, cfg.num_pos_freqs)
+                  if cfg.num_pos_freqs > 0 else sample_loc_w)  # [R,SR,pnt_ch]
+
+    def cat_pnt(t, per_point: bool):
+        p = pnt_pe
+        if per_point:
+            p = jnp.broadcast_to(p[..., None, :],
+                                 t.shape[:-1] + (p.shape[-1],))
+        return jnp.concatenate([t, p.astype(t.dtype)], axis=-1)
+
     if cfg.agg_intrp_order == 0:
-        # interpolate first, then decode per shading point
-        fagg = jnp.sum(sp.features * w, axis=-2)          # [R,SR,F]
+        # interpolate first, then decode per shading point (the kernel may
+        # have consumed leading feature channels — use the stripped payload,
+        # reference dist_func return :470)
+        fagg = jnp.sum(feat_stripped * w, axis=-2)        # [R,SR,F]
         if cfg.num_feat_freqs > 0:
             fagg = jnp.concatenate([fagg, positional_encoding(fagg, cfg.num_feat_freqs)], -1)
         x = fagg.astype(compute_dtype)
+        if cfg.agg_feat_xyz_mode != "None":
+            x = cat_pnt(x, per_point=False)
     else:
         x = jnp.concatenate([feat, dists_enc], axis=-1).astype(compute_dtype)
+        if cfg.agg_feat_xyz_mode != "None":
+            x = cat_pnt(x, per_point=True)
 
     def run_block(name, x):
         for layer in params[name]:
@@ -321,6 +368,8 @@ def aggregate(params: Dict, cfg: AggregatorConfig, sp: SampledPoints,
     if "block1" in params:
         x = run_block("block1", x)
     if "block2" in params:
+        if cfg.agg_feat_xyz_mode != "None":
+            x = cat_pnt(x, per_point=cfg.agg_intrp_order > 0)
         if cfg.agg_intrp_order > 0 and cfg.num_feat_freqs == 0:
             x = jnp.concatenate([x, dists_enc.astype(compute_dtype)], -1)
         x = run_block("block2", x)
@@ -362,26 +411,33 @@ def aggregate(params: Dict, cfg: AggregatorConfig, sp: SampledPoints,
             c = c * (1 + 2 * 0.001) - 0.001
         return c
 
+    def alpha_input(t, per_point: bool):
+        return (cat_pnt(t, per_point)
+                if cfg.agg_alpha_xyz_mode != "None" else t)
+
+    def color_input(fagg):
+        t = fagg
+        if cfg.agg_color_xyz_mode != "None":
+            t = cat_pnt(t, per_point=False)
+        return jnp.concatenate([t, viewdirs_pe.astype(compute_dtype)], -1)
+
     C = cfg.shading_color_channel_num
     if cfg.agg_intrp_order == 2:
         # per-point alpha, interpolated; features interpolated; view-dep color
-        alpha_pp = raw2density(mlp("alpha", x))           # [R,SR,K,1]
+        alpha_pp = raw2density(mlp("alpha", alpha_input(x, True)))  # [R,SR,K,1]
         alpha_pp = jnp.where(mask[..., None], alpha_pp, 0.0)
         alpha = jnp.sum(alpha_pp * w, axis=-2)            # [R,SR,1]
         fpp = jnp.where(mask[..., None], x, 0.0)
         fagg = jnp.sum(fpp * w, axis=-2)                  # [R,SR,H]
-        color_in = jnp.concatenate([fagg, viewdirs_pe.astype(compute_dtype)], -1)
-        color = raw2color(mlp("color", color_in))         # [R,SR,C]
+        color = raw2color(mlp("color", color_input(fagg)))  # [R,SR,C]
     elif cfg.agg_intrp_order == 1:
         fpp = jnp.where(mask[..., None], x, 0.0)
         fagg = jnp.sum(fpp * w, axis=-2)
-        alpha = raw2density(mlp("alpha", fagg))
-        color_in = jnp.concatenate([fagg, viewdirs_pe.astype(compute_dtype)], -1)
-        color = raw2color(mlp("color", color_in))
+        alpha = raw2density(mlp("alpha", alpha_input(fagg, False)))
+        color = raw2color(mlp("color", color_input(fagg)))
     else:  # order 0: decode per shading point
-        alpha = raw2density(mlp("alpha", x))
-        color_in = jnp.concatenate([x, viewdirs_pe.astype(compute_dtype)], -1)
-        color = raw2color(mlp("color", color_in))
+        alpha = raw2density(mlp("alpha", alpha_input(x, False)))
+        color = raw2color(mlp("color", color_input(x)))
 
     out = jnp.concatenate([alpha, color], axis=-1).astype(jnp.float32)
     out = out * ray_valid[..., None]                     # output_placeholder (:644-645)

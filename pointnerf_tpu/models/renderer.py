@@ -167,7 +167,8 @@ def render_rays(params: Dict, pc: PointCloud, st: PointCloudStatic,
     q: QueryResult = query_points(
         pc.xyz, grid, batch.campos, batch.raydir,
         float(cfg.render.near_plane), float(cfg.render.far_plane), cfg.query,
-        jitter=cfg.render.train_jitter if train else 0.0, key=key)
+        jitter=cfg.render.train_jitter if train else 0.0, key=key,
+        gen_name=cfg.render.which_ray_generation)
 
     # Perspective coords of all points for this camera (neural_points.py:635).
     xyz_pers = w2pers(pc.xyz, batch.camrotc2w, batch.campos)

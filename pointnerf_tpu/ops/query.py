@@ -266,16 +266,20 @@ def knn_query(sample_loc_w: jnp.ndarray, sample_mask: jnp.ndarray,
 # Full query (ray gen -> shading selection -> KNN)
 # --------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("cfg", "jitter"))
+@functools.partial(jax.jit, static_argnames=("cfg", "jitter", "gen_name"))
 def query_points(xyz: jnp.ndarray, grid: PointGrid, campos: jnp.ndarray,
                  raydir: jnp.ndarray, near: float, far: float,
                  cfg: QueryConfig, jitter: float = 0.0,
-                 key: Optional[jnp.ndarray] = None) -> QueryResult:
+                 key: Optional[jnp.ndarray] = None,
+                 gen_name: Optional[str] = None) -> QueryResult:
     """End-to-end neighbor query, mirroring lighting_fast_querier.query_points
-    (query_point_indices_worldcoords.py:84-99) with static shapes."""
+    (query_point_indices_worldcoords.py:84-99) with static shapes.
+
+    gen_name: explicit ray-generator registry key (RenderConfig.
+    which_ray_generation); defaults to cfg.inverse selection."""
     meta = grid_meta(cfg)
-    gen = RAY_GENERATORS["near_far_disparity_linear" if cfg.inverse > 0
-                         else "near_far_linear"]
+    gen = RAY_GENERATORS[gen_name or (
+        "near_far_disparity_linear" if cfg.inverse > 0 else "near_far_linear")]
     raypos, _seg, tvals = gen(campos, raydir, cfg.z_depth_dim, near, far,
                               jitter=jitter, key=key)
     tvals = jnp.broadcast_to(tvals, raypos.shape[:2])

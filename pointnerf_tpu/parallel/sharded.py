@@ -115,8 +115,14 @@ def build_sharded_scene(pc: PointCloud, num_active: jnp.ndarray,
     if Rw2c is None:
         Rw2c = jnp.eye(3, dtype=jnp.float32)
 
+    import dataclasses as _dc
+    # The sharded query path uses the bucket-gather KNN (ShardedScene carries
+    # no prebuilt neighbor tables); disable prebuild so grid rebuilds don't
+    # pay for tables that would be dropped.
+    qcfg = _dc.replace(cfg.query, prebuild_neighbors=False)
+
     def builder(xyz_s, num_s):
-        grid = build_grid(xyz_s[0], num_s[0], cfg.query)
+        grid = build_grid(xyz_s[0], num_s[0], qcfg)
         # Union occupancy across point shards (int32 psum; int8 could overflow)
         occ_union = (jax.lax.psum(grid.vox_occ.astype(jnp.int32), "mp") > 0
                      ).astype(jnp.int8)
@@ -156,8 +162,8 @@ def _render_local(mlp_params, pc_local: PointCloud, scene_local: PointGrid,
 
     # 1. Ray generation — the key is replicated over mp, so all point shards
     # see identical jittered sample positions for their dp-shard's rays.
-    gen = RAY_GENERATORS["near_far_disparity_linear" if q.inverse > 0
-                         else "near_far_linear"]
+    gen = RAY_GENERATORS[cfg.render.which_ray_generation or (
+        "near_far_disparity_linear" if q.inverse > 0 else "near_far_linear")]
     jitter = cfg.render.train_jitter if train else 0.0
     raypos, _seg, _t = gen(batch.campos, batch.raydir, q.z_depth_dim,
                            float(cfg.render.near_plane),
@@ -358,7 +364,9 @@ def sharded_prune(state: TrainState, scene: ShardedScene,
 
     pc2, kept = jax.vmap(one)(pc, scene.num_active)
     num_active = kept.astype(jnp.int32)
-    scene2 = build_sharded_scene(pc2, num_active, cfg, mesh, Rw2c=scene.Rw2c)
+    from ..config import jit_canonical
+    scene2 = build_sharded_scene(pc2, num_active, jit_canonical(cfg), mesh,
+                                 Rw2c=scene.Rw2c)
     params = dict(state.params, points=pc2)
     opt_state = _reinit_opt_state(params, cfg, state.step)
     new_state = TrainState(params=params, opt_state=opt_state,

@@ -38,6 +38,13 @@ def save_checkpoint(root: str, state: TrainState, meta: Optional[Dict] = None):
     return path
 
 
+def checkpoint_meta(path: str) -> Dict[str, Any]:
+    """Read just the sidecar (e.g. to size the restore template before
+    building it — capacity can change across grow re-buckets)."""
+    meta_path = os.path.join(path, "meta.json")
+    return json.load(open(meta_path)) if os.path.exists(meta_path) else {}
+
+
 def latest_checkpoint(root: str) -> Optional[str]:
     """reference get_latest_epoch (train_ft.py:545-549)."""
     cands = sorted(glob.glob(os.path.join(os.path.abspath(root), "ckpt_*")))

@@ -51,12 +51,18 @@ class ItemPrefetcher:
         self._q = queue.Queue(maxsize=depth)
         self._stop = threading.Event()
 
+        self._err = None
+
         def worker():
             import queue as _queue
             step = start_step
             while not self._stop.is_set():
                 step += 1
-                payload = (step, item_fn(step))
+                try:
+                    payload = (step, item_fn(step))
+                except BaseException as e:  # surface in get(), don't die mute
+                    self._err = e
+                    return
                 while not self._stop.is_set():
                     try:
                         self._q.put(payload, timeout=1.0)
@@ -67,7 +73,14 @@ class ItemPrefetcher:
         self._t.start()
 
     def get(self):
-        return self._q.get()
+        import queue as _queue
+        while True:
+            if self._err is not None:
+                raise RuntimeError("item prefetch worker failed") from self._err
+            try:
+                return self._q.get(timeout=5.0)
+            except _queue.Empty:
+                continue
 
     def close(self):
         self._stop.set()
@@ -133,6 +146,17 @@ def train_scene(cfg: PointNeRFConfig,
     if resume:
         path = latest_checkpoint(run_dir)
         if path:
+            from .checkpoint import checkpoint_meta
+            meta = checkpoint_meta(path)
+            cap = meta.get("capacity")
+            if cap is not None and cap != pc.capacity:
+                # growth re-bucketed the cloud: rebuild the restore template
+                # at the checkpointed capacity
+                pc, st = make_point_cloud(
+                    xyz, k1, cfg.points, cfg.agg.point_features_dim,
+                    features=features, conf=conf, color=color, dirs=normals,
+                    capacity=cap)
+                state = create_train_state(k3, params, pc, cfg)
             state, meta = load_checkpoint(path, state)
             n_active = meta.get("num_active")
             if n_active is not None:
@@ -152,6 +176,10 @@ def train_scene(cfg: PointNeRFConfig,
 
     step_i = int(state.step)
     prefetch = ItemPrefetcher(train_items_fn, start_step=step_i)
+    # per-frame ray-miss tallies for probe-frame ranking (reference
+    # top_ray_miss_ids, mvs_points_volumetric_model.py:139-171). Device
+    # scalars accumulate async; synced only when a probe fires.
+    miss_tally: Dict = {}
     while step_i < max_steps:
         step_i += 1
         # ---- prune (train_ft.py:841-849) -------------------------------
@@ -162,7 +190,17 @@ def train_scene(cfg: PointNeRFConfig,
             print(f"[prune] step {step_i}: kept {kept} points")
         # ---- grow (train_ft.py:851-918) --------------------------------
         if t.prob_freq > 0 and step_i % t.prob_freq == 0 and probe_items:
-            cand = probe_hole(state.params, st, grid, cfg, probe_items, wh)
+            # probe the frames whose training batches missed the most rays
+            if miss_tally:
+                score = {k: float(np.sum([np.asarray(v) for v in vs]))
+                         for k, vs in miss_tally.items()}
+                ranked = sorted(
+                    probe_items,
+                    key=lambda it: -score.get(it.get("id"), 0.0))
+                miss_tally.clear()
+            else:
+                ranked = probe_items
+            cand = probe_hole(state.params, st, grid, cfg, ranked, wh)
             state, st, added = apply_grow(state, st, cand, cfg)
             grid = refresh_grid(state.params["points"], st, cfg)
             print(f"[grow] step {step_i}: +{added} points "
@@ -172,7 +210,10 @@ def train_scene(cfg: PointNeRFConfig,
         assert fetched_step == step_i, (fetched_step, step_i)
         batch = _to_batch(item, cfg)
         state, items = train_step(state, st, grid, batch, jcfg)
-        vis.accumulate_losses({k: v for k, v in items.items()})
+        if item.get("id") is not None:
+            miss_tally.setdefault(item["id"], []).append(items["n_miss"])
+        vis.accumulate_losses(
+            {k: v for k, v in items.items() if k != "n_miss"})
 
         if step_i % log_every == 0:
             means = vis.print_losses(step_i)
@@ -190,9 +231,12 @@ def train_scene(cfg: PointNeRFConfig,
                 break
         if t.save_iter_freq > 0 and step_i % t.save_iter_freq == 0:
             save_checkpoint(run_dir, state,
-                            {"num_active": int(st.num_active)})
+                            {"num_active": int(st.num_active),
+                             "capacity": state.params["points"].capacity})
     prefetch.close()
-    save_checkpoint(run_dir, state, {"num_active": int(st.num_active)})
+    save_checkpoint(run_dir, state,
+                    {"num_active": int(st.num_active),
+                     "capacity": state.params["points"].capacity})
     return state, st, history
 
 
@@ -208,6 +252,36 @@ def render_video(params, st, grid, cfg: PointNeRFConfig, items: List[Dict],
         maps = render_full_frame(params, st, grid, cfg, item, wh, prob=False)
         frames.append(np.clip(maps["coarse_raycolor"][..., :3], 0, 1))
     return vis.gen_video(frames, name=name, fps=fps)
+
+
+def eval_rays_sharded(eval_fn, params, scene, item: Dict,
+                      cfg: PointNeRFConfig, n_devices: int,
+                      chunk: int = 9216) -> np.ndarray:
+    """Chunked sharded inference over an arbitrary ray count: chunks are
+    padded to a dp*mp multiple (the mesh requires divisible ray batches) and
+    bounded so full frames don't materialize [R, SR, mp*K, F] merged tensors
+    at once (the single-device analog chunks at 2304, train/grow.py)."""
+    raydir = np.asarray(item["raydir"], np.float32)
+    R = raydir.shape[0]
+    chunk = max(n_devices, (chunk // n_devices) * n_devices)
+    outs = []
+    for s in range(0, R, chunk):
+        e = min(s + chunk, R)
+        rd = raydir[s:e]
+        if e - s < chunk:
+            rd = np.concatenate(
+                [rd, np.zeros((chunk - (e - s), 3), np.float32)])
+        batch = RayBatch(
+            campos=jnp.asarray(item["campos"]),
+            camrotc2w=jnp.asarray(item["camrotc2w"]),
+            raydir=jnp.asarray(rd),
+            pixel_idx=jnp.zeros((chunk, 2), jnp.int32),
+            near=jnp.asarray(cfg.render.near_plane, jnp.float32),
+            far=jnp.asarray(cfg.render.far_plane, jnp.float32),
+            gt_image=None)
+        out = eval_fn(params, scene, batch)
+        outs.append(np.asarray(out.coarse_raycolor)[: e - s])
+    return np.concatenate(outs)
 
 
 def train_scene_sharded(cfg: PointNeRFConfig, mesh,
@@ -253,7 +327,9 @@ def train_scene_sharded(cfg: PointNeRFConfig, mesh,
         step_i += 1
         if (t.prune_iter > 0 and step_i % t.prune_iter == 0
                 and step_i <= t.prune_max_iter):
-            state, scene, kept = sharded_prune(state, scene, jcfg, mesh)
+            # ORIGINAL cfg: jit_canonical zeroes prune_thresh (schedule
+            # fields); sharded_prune's grid rebuild re-canonicalizes itself
+            state, scene, kept = sharded_prune(state, scene, cfg, mesh)
             print(f"[prune] step {step_i}: kept {kept} points")
         fetched_step, item = prefetch.get()
         assert fetched_step == step_i
@@ -264,9 +340,10 @@ def train_scene_sharded(cfg: PointNeRFConfig, mesh,
             history["loss"].append((step_i, means.get("loss_total", 0.0)))
         if t.test_freq > 0 and step_i % t.test_freq == 0 and test_items:
             psnrs = []
+            n_dev = mesh.devices.size
             for item_t in test_items:
-                out = eval_fn(state.params, scene, _to_batch(item_t, cfg))
-                img = np.asarray(out.coarse_raycolor)
+                img = eval_rays_sharded(eval_fn, state.params, scene, item_t,
+                                        cfg, n_dev)
                 psnrs.append(psnr_np(img, np.asarray(item_t["gt_image"])))
             m = {"step": step_i, "psnr": float(np.mean(psnrs))}
             history["eval"].append(m)

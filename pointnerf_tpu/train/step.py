@@ -47,6 +47,9 @@ def loss_fn(params, st: PointCloudStatic, grid: PointGrid, batch: RayBatch,
         "loss_ray_masked_coarse_raycolor", jnp.asarray(0.0)))
     mse_all = jnp.mean((out.coarse_raycolor - batch.gt_image) ** 2)
     items["psnr"] = mse2psnr(mse_all)
+    # miss count feeds the probe-frame ranking (reference top_ray_miss_ids,
+    # mvs_points_volumetric_model.py:139-171)
+    items["n_miss"] = jnp.sum(~out.ray_mask)
     return total, items
 
 

@@ -1,0 +1,98 @@
+"""Regression tests for the round-1 code-review findings."""
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pointnerf_tpu.config import tiny_test_config
+from pointnerf_tpu.models.aggregator import init_aggregator_params
+from pointnerf_tpu.models.renderer import render_rays
+from pointnerf_tpu.train.step import eval_step, refresh_grid
+
+from test_render import make_batch, setup, synthetic_scene
+
+
+def _agg_cfg(**kw):
+    cfg = tiny_test_config()
+    return cfg.replace(agg=dataclasses.replace(cfg.agg, **kw))
+
+
+def test_sh_intrp_kernel_renders():
+    """sh_intrp was advertised but raised ValueError; the leading sh_degree²
+    feature channels are SH coefficients now."""
+    cfg = _agg_cfg(agg_distance_kernel="sh_intrp", sh_degree=2,
+                   point_features_dim=8 + 4)  # 4 SH coeffs + 8 payload
+    pc, st, params, grid, campos, camrot = setup(cfg)
+    out = render_rays(params, pc, st, grid, make_batch(campos, camrot), cfg)
+    assert np.isfinite(np.asarray(out.coarse_raycolor)).all()
+    assert bool(jnp.any(out.ray_mask))
+
+
+@pytest.mark.parametrize("mode_field", ["agg_feat_xyz_mode",
+                                        "agg_alpha_xyz_mode",
+                                        "agg_color_xyz_mode"])
+def test_xyz_modes_render(mode_field):
+    """*_xyz_mode sized the MLPs for a position encoding that was never
+    concatenated -> shape crash; now the PE'd sample position feeds the
+    corresponding branch."""
+    cfg = _agg_cfg(**{mode_field: "absolute"})
+    pc, st, params, grid, campos, camrot = setup(cfg)
+    out = render_rays(params, pc, st, grid, make_batch(campos, camrot), cfg)
+    assert np.isfinite(np.asarray(out.coarse_raycolor)).all()
+
+
+def test_prefetcher_propagates_worker_errors():
+    from pointnerf_tpu.train.driver import ItemPrefetcher
+
+    def bad_item(step):
+        raise ValueError("boom")
+
+    p = ItemPrefetcher(bad_item, start_step=0)
+    with pytest.raises(RuntimeError, match="prefetch worker failed"):
+        p.get()
+    p.close()
+
+
+def test_resume_after_capacity_growth(tmp_path):
+    """Resume must rebuild the restore template at the checkpointed
+    capacity when growth re-bucketed the cloud."""
+    from pointnerf_tpu.models.points import make_point_cloud
+    from pointnerf_tpu.train.checkpoint import (checkpoint_meta,
+                                                latest_checkpoint,
+                                                load_checkpoint,
+                                                save_checkpoint)
+    from pointnerf_tpu.train.grow import ProbeCandidates, apply_grow
+    from pointnerf_tpu.train.step import create_train_state
+    cfg = tiny_test_config()
+    xyz, campos, camrot = synthetic_scene(n_pts=100)
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    pc, st = make_point_cloud(xyz, k1, cfg.points, cfg.agg.point_features_dim,
+                              capacity=128)
+    params = init_aggregator_params(k2, cfg.agg)
+    state = create_train_state(k3, params, pc, cfg)
+    F = cfg.agg.point_features_dim
+    cand = ProbeCandidates(
+        xyz=np.zeros((200, 3), np.float32),
+        embedding=np.ones((200, F), np.float32),
+        color=np.zeros((200, 3), np.float32),
+        dirs=np.zeros((200, 3), np.float32),
+        conf=np.full((200, 1), 0.3, np.float32))
+    state, st, added = apply_grow(state, st, cand, cfg)
+    assert state.params["points"].capacity > 128  # re-bucketed
+    save_checkpoint(str(tmp_path), state,
+                    {"num_active": int(st.num_active),
+                     "capacity": state.params["points"].capacity})
+
+    path = latest_checkpoint(str(tmp_path))
+    meta = checkpoint_meta(path)
+    assert meta["capacity"] == state.params["points"].capacity
+    # rebuild template at checkpointed capacity and restore exactly
+    pc2, _ = make_point_cloud(xyz, k1, cfg.points, cfg.agg.point_features_dim,
+                              capacity=meta["capacity"])
+    template = create_train_state(k3, params, pc2, cfg)
+    restored, meta2 = load_checkpoint(path, template)
+    np.testing.assert_array_equal(
+        np.asarray(restored.params["points"].xyz),
+        np.asarray(state.params["points"].xyz))
