@@ -418,7 +418,9 @@ def sharded_grow(state: TrainState, scene: ShardedScene, cand,
         counts.append(st_j.num_active)
     pc2 = jax.tree.map(lambda *xs: jnp.stack(xs), *shards_pc)
     num_active = jnp.stack(counts).astype(jnp.int32)
-    scene2 = build_sharded_scene(pc2, num_active, cfg, mesh, Rw2c=scene.Rw2c)
+    from ..config import jit_canonical
+    scene2 = build_sharded_scene(pc2, num_active, jit_canonical(cfg), mesh,
+                                 Rw2c=scene.Rw2c)
     params = dict(state.params, points=pc2)
     opt_state = _reinit_opt_state(params, cfg, state.step)
     def put(tree, spec_tree):

