@@ -285,6 +285,18 @@ class PointNeRFConfig:
         return PointNeRFConfig(**kw)
 
 
+def effective_ray_generator(cfg: PointNeRFConfig) -> str:
+    """Resolve the ray-generator registry key: an explicit non-default
+    which_ray_generation wins; otherwise QueryConfig.inverse=1 selects
+    disparity spacing (the reference keys generation off `inverse` inside
+    the querier, query_point_indices.py:118-129)."""
+    name = cfg.render.which_ray_generation
+    if name and name != "near_far_linear":
+        return name
+    return ("near_far_disparity_linear" if cfg.query.inverse > 0
+            else "near_far_linear")
+
+
 def jit_canonical(cfg: PointNeRFConfig) -> PointNeRFConfig:
     """Zero out fields that never enter jitted computation (schedules,
     logging, IO cadence) so configs differing only in those share one

@@ -163,11 +163,16 @@ def _dist_weight(cfg: AggregatorConfig, dists, pnt_mask, vsize,
         dirs = d3 / jnp.clip(dn[..., None], min=1e-8)
         shall = sh_basis(cfg.sh_degree, dirs)              # [..., deg²]
         coefs = features[..., : cfg.sh_degree ** 2]
-        act = jnp.tanh if cfg.sh_act == "tanh" else jax.nn.sigmoid
+        acts = {"sigmoid": jax.nn.sigmoid, "tanh": jnp.tanh}
+        if cfg.sh_act not in acts:
+            raise ValueError(f"unsupported sh_act {cfg.sh_act!r}")
+        act = acts[cfg.sh_act]
         if cfg.sh_dist_func == "sh_quadric":
             df = 1.0 / jnp.clip(dn * dn, min=1e-8)
-        else:
+        elif cfg.sh_dist_func == "sh_linear":
             df = 1.0 / jnp.clip(dn, min=1e-8)
+        else:
+            raise ValueError(f"unsupported sh_dist_func {cfg.sh_dist_func!r}")
         w = pnt_mask * jnp.sum(act(shall * coefs), axis=-1) * df
         return w, False
     if name == "linear":
@@ -197,6 +202,11 @@ def _dist_weight(cfg: AggregatorConfig, dists, pnt_mask, vsize,
         return w, True
     if name == "avg":
         return pnt_mask * 1.0, False
+    if name in ("feat_intrp", "meta_intrp", "gau_intrp"):
+        raise NotImplementedError(
+            f"agg_distance_kernel {name!r} (learned-weight kernels, "
+            "reference point_aggregators.py:227-238,473-485) is not "
+            "implemented in this framework yet")
     if name == "trilinear":
         gv = vsize[0]  # grid_vox_sz analog
         d = dists * pnt_mask[..., None] / gv
@@ -323,8 +333,6 @@ def aggregate(params: Dict, cfg: AggregatorConfig, sp: SampledPoints,
     feat = sp.features
     if cfg.agg_distance_kernel == "sh_intrp":
         feat = feat[..., cfg.sh_degree ** 2:]
-    if cfg.agg_distance_kernel == "feat_intrp":
-        feat = feat[..., cfg.weight_feat_dim:]
     feat = jnp.where(mask[..., None], feat, 0.0)
     feat_stripped = feat
     if cfg.num_feat_freqs > 0:

@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from ..camera import w2pers
-from ..config import PointNeRFConfig
+from ..config import PointNeRFConfig, effective_ray_generator as _effective_gen
 from ..ops.grid import PointGrid
 from ..ops.query import QueryResult, query_points
 from .aggregator import aggregate
@@ -168,7 +168,7 @@ def render_rays(params: Dict, pc: PointCloud, st: PointCloudStatic,
         pc.xyz, grid, batch.campos, batch.raydir,
         float(cfg.render.near_plane), float(cfg.render.far_plane), cfg.query,
         jitter=cfg.render.train_jitter if train else 0.0, key=key,
-        gen_name=cfg.render.which_ray_generation)
+        gen_name=_effective_gen(cfg))
 
     # Perspective coords of all points for this camera (neural_points.py:635).
     xyz_pers = w2pers(pc.xyz, batch.camrotc2w, batch.campos)

@@ -162,8 +162,8 @@ def _render_local(mlp_params, pc_local: PointCloud, scene_local: PointGrid,
 
     # 1. Ray generation — the key is replicated over mp, so all point shards
     # see identical jittered sample positions for their dp-shard's rays.
-    gen = RAY_GENERATORS[cfg.render.which_ray_generation or (
-        "near_far_disparity_linear" if q.inverse > 0 else "near_far_linear")]
+    from ..config import effective_ray_generator
+    gen = RAY_GENERATORS[effective_ray_generator(cfg)]
     jitter = cfg.render.train_jitter if train else 0.0
     raypos, _seg, _t = gen(batch.campos, batch.raydir, q.z_depth_dim,
                            float(cfg.render.near_plane),
@@ -400,6 +400,22 @@ def sharded_grow(state: TrainState, scene: ShardedScene, cand,
         out = np.full((width,) + a.shape[1:], fill, np.float32)
         out[: len(sel)] = a[sel]
         return out
+
+    # re-bucket every shard to a common larger capacity if any would
+    # overflow (grow() drops overflow; the single-device apply_grow
+    # re-buckets the same way)
+    cap = jax.tree.leaves(pc)[0].shape[1]
+    needed = int(jnp.max(scene.num_active)) + width
+    if needed > cap:
+        new_cap = round_capacity(needed)
+
+        def repad(x):
+            fill = DEAD_XYZ if x is pc.xyz else 0.0
+            out = jnp.full((mp, new_cap) + x.shape[2:], fill, x.dtype)
+            return out.at[:, : x.shape[1]].set(x)
+        pc = PointCloud(xyz=repad(pc.xyz), features=repad(pc.features),
+                        conf=repad(pc.conf), color=repad(pc.color),
+                        dirs=repad(pc.dirs))
 
     shards_pc, counts = [], []
     for j in range(mp):

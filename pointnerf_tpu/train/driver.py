@@ -190,13 +190,17 @@ def train_scene(cfg: PointNeRFConfig,
             print(f"[prune] step {step_i}: kept {kept} points")
         # ---- grow (train_ft.py:851-918) --------------------------------
         if t.prob_freq > 0 and step_i % t.prob_freq == 0 and probe_items:
-            # probe the frames whose training batches missed the most rays
+            # probe only the frames whose training batches missed the most
+            # rays (reference max_num = len(dataset)//prob_num_step,
+            # train_ft.py:443-452)
             if miss_tally:
                 score = {k: float(np.sum([np.asarray(v) for v in vs]))
                          for k, vs in miss_tally.items()}
                 ranked = sorted(
                     probe_items,
                     key=lambda it: -score.get(it.get("id"), 0.0))
+                n_probe = max(1, len(ranked) // max(t.prob_num_step, 1))
+                ranked = ranked[:n_probe]
                 miss_tally.clear()
             else:
                 ranked = probe_items
@@ -210,7 +214,8 @@ def train_scene(cfg: PointNeRFConfig,
         assert fetched_step == step_i, (fetched_step, step_i)
         batch = _to_batch(item, cfg)
         state, items = train_step(state, st, grid, batch, jcfg)
-        if item.get("id") is not None:
+        if (t.prob_freq > 0 and probe_items
+                and item.get("id") is not None):
             miss_tally.setdefault(item["id"], []).append(items["n_miss"])
         vis.accumulate_losses(
             {k: v for k, v in items.items() if k != "n_miss"})
@@ -290,7 +295,8 @@ def probe_hole_sharded(eval_prob_fn, params, scene, cfg: PointNeRFConfig,
     """Sharded probe-hole scan: full-frame prob-mode renders assembled
     across the mesh, then the same hole/dilation/opacity candidate logic as
     the single-device probe (train/grow.py probe_hole)."""
-    from .grow import ProbeCandidates, _dilate3
+    from .grow import (accumulate_probe_candidates,
+                       finalize_probe_candidates)
     W, H = wh
     bg = np.asarray(cfg.render.bg_color, np.float32)
     adds = {k: [] for k in ("xyz", "embedding", "color", "dirs", "conf")}
@@ -326,29 +332,8 @@ def probe_hole_sharded(eval_prob_fn, params, scene, cfg: PointNeRFConfig,
                 if k not in maps:
                     maps[k] = np.zeros((H, W, v.shape[-1]), v.dtype)
                 maps[k][py, px] = v
-        gt = np.zeros((H, W, 3), np.float32)
-        gt[pix[:, 1], pix[:, 0]] = np.asarray(item["gt_image"], np.float32)
-        ray_mask = maps["ray_mask"][..., 0] > 0
-        miss = (~ray_mask) & (np.linalg.norm(gt - bg, axis=-1) > 0.002)
-        sel = (ray_mask & _dilate3(miss)
-               & (maps["ray_max_shading_opacity"][..., 0]
-                  > cfg.train.prob_thresh))
-        if not sel.any():
-            continue
-        adds["xyz"].append(maps["ray_max_sample_loc_w"][sel])
-        adds["embedding"].append(maps["shading_avg_embedding"][sel])
-        adds["color"].append(maps["shading_avg_color"][sel])
-        adds["dirs"].append(maps["shading_avg_dir"][sel])
-        adds["conf"].append(maps["shading_avg_conf"][sel]
-                            * cfg.train.prob_mul)
-
-    def cat(k, d):
-        return (np.concatenate(adds[k]).astype(np.float32) if adds[k]
-                else np.zeros((0, d), np.float32))
-    F = cfg.agg.point_features_dim
-    return ProbeCandidates(xyz=cat("xyz", 3), embedding=cat("embedding", F),
-                           color=cat("color", 3), dirs=cat("dirs", 3),
-                           conf=cat("conf", 1))
+        accumulate_probe_candidates(adds, maps, item, cfg, wh, bg)
+    return finalize_probe_candidates(adds, cfg)
 
 
 def train_scene_sharded(cfg: PointNeRFConfig, mesh,

@@ -97,37 +97,34 @@ def _dilate3(mask: np.ndarray) -> np.ndarray:
     return out
 
 
-def probe_hole(params, st, grid, cfg: PointNeRFConfig, items: List[Dict],
-               wh: Tuple[int, int], bg_color=None,
-               chunk: int = 2304) -> ProbeCandidates:
-    """Scan probe frames for holes; returns grow candidates
-    (train_ft.py:420-533 semantics)."""
+def accumulate_probe_candidates(adds: Dict, maps: Dict, item: Dict,
+                                cfg: PointNeRFConfig, wh: Tuple[int, int],
+                                bg: np.ndarray):
+    """Shared per-frame hole/dilation/opacity candidate selection
+    (train_ft.py:499-520), used by both the single-device and sharded
+    probes."""
     W, H = wh
-    bg = np.asarray(bg_color if bg_color is not None else cfg.render.bg_color,
-                    np.float32)
-    adds = {k: [] for k in ("xyz", "embedding", "color", "dirs", "conf")}
-    for item in items:
-        maps = render_full_frame(params, st, grid, cfg, item, wh, chunk,
-                                 prob=True)
-        gt = np.zeros((H, W, 3), np.float32)
-        pix = np.asarray(item["pixel_idx"], np.int64)
-        gt[pix[:, 1], pix[:, 0]] = np.asarray(item["gt_image"], np.float32)
+    gt = np.zeros((H, W, 3), np.float32)
+    pix = np.asarray(item["pixel_idx"], np.int64)
+    gt[pix[:, 1], pix[:, 0]] = np.asarray(item["gt_image"], np.float32)
+    ray_mask = maps["ray_mask"][..., 0] > 0
+    # rays the query missed but whose GT is not background
+    miss = (~ray_mask) & (np.linalg.norm(gt - bg, axis=-1) > 0.002)
+    # grow at HIT rays adjacent to misses whose peak opacity is confident
+    sel = (ray_mask & _dilate3(miss)
+           & (maps["ray_max_shading_opacity"][..., 0]
+              > cfg.train.prob_thresh))
+    if not sel.any():
+        return
+    adds["xyz"].append(maps["ray_max_sample_loc_w"][sel])
+    adds["embedding"].append(maps["shading_avg_embedding"][sel])
+    adds["color"].append(maps["shading_avg_color"][sel])
+    adds["dirs"].append(maps["shading_avg_dir"][sel])
+    adds["conf"].append(maps["shading_avg_conf"][sel] * cfg.train.prob_mul)
 
-        ray_mask = maps["ray_mask"][..., 0] > 0
-        # rays the query missed but whose GT is not background
-        miss = (~ray_mask) & (np.linalg.norm(gt - bg, axis=-1) > 0.002)
-        neighboring = _dilate3(miss)
-        # grow at HIT rays adjacent to misses whose peak opacity is confident
-        sel = (ray_mask & neighboring
-               & (maps["ray_max_shading_opacity"][..., 0] > cfg.train.prob_thresh))
-        if not sel.any():
-            continue
-        adds["xyz"].append(maps["ray_max_sample_loc_w"][sel])
-        adds["embedding"].append(maps["shading_avg_embedding"][sel])
-        adds["color"].append(maps["shading_avg_color"][sel])
-        adds["dirs"].append(maps["shading_avg_dir"][sel])
-        adds["conf"].append(maps["shading_avg_conf"][sel] * cfg.train.prob_mul)
 
+def finalize_probe_candidates(adds: Dict, cfg: PointNeRFConfig
+                              ) -> ProbeCandidates:
     def cat(k, d):
         return (np.concatenate(adds[k]).astype(np.float32) if adds[k]
                 else np.zeros((0, d), np.float32))
@@ -135,6 +132,21 @@ def probe_hole(params, st, grid, cfg: PointNeRFConfig, items: List[Dict],
     return ProbeCandidates(xyz=cat("xyz", 3), embedding=cat("embedding", F),
                            color=cat("color", 3), dirs=cat("dirs", 3),
                            conf=cat("conf", 1))
+
+
+def probe_hole(params, st, grid, cfg: PointNeRFConfig, items: List[Dict],
+               wh: Tuple[int, int], bg_color=None,
+               chunk: int = 2304) -> ProbeCandidates:
+    """Scan probe frames for holes; returns grow candidates
+    (train_ft.py:420-533 semantics)."""
+    bg = np.asarray(bg_color if bg_color is not None else cfg.render.bg_color,
+                    np.float32)
+    adds = {k: [] for k in ("xyz", "embedding", "color", "dirs", "conf")}
+    for item in items:
+        maps = render_full_frame(params, st, grid, cfg, item, wh, chunk,
+                                 prob=True)
+        accumulate_probe_candidates(adds, maps, item, cfg, wh, bg)
+    return finalize_probe_candidates(adds, cfg)
 
 
 def _reinit_opt_state(params, cfg: PointNeRFConfig, step: jnp.ndarray):

@@ -48,8 +48,14 @@ def loss_fn(params, st: PointCloudStatic, grid: PointGrid, batch: RayBatch,
     mse_all = jnp.mean((out.coarse_raycolor - batch.gt_image) ** 2)
     items["psnr"] = mse2psnr(mse_all)
     # miss count feeds the probe-frame ranking (reference top_ray_miss_ids,
-    # mvs_points_volumetric_model.py:139-171)
-    items["n_miss"] = jnp.sum(~out.ray_mask)
+    # mvs_points_volumetric_model.py:139-171): only misses whose GT is not
+    # background count (probe miss criterion, train_ft.py:503)
+    miss = ~out.ray_mask
+    if batch.gt_image is not None and batch.gt_image.shape[-1] == 3:
+        bg = jnp.asarray(cfg.render.bg_color, jnp.float32)
+        miss = miss & (jnp.linalg.norm(batch.gt_image - bg[None], axis=-1)
+                       > 2e-3)
+    items["n_miss"] = jnp.sum(miss)
     return total, items
 
 

@@ -130,3 +130,26 @@ def test_synthetic_gt_hits_sphere():
     gt = item["gt_image"]
     bg = np.all(gt == 1.0, axis=-1)
     assert 0 < bg.sum() < gt.shape[0], "render should mix sphere and bg"
+
+
+def test_eval_cli(tmp_path):
+    """run/evaluate.py equivalent: folder-vs-folder metric scoring."""
+    import subprocess, sys
+    import imageio.v2 as imageio
+    rng = np.random.RandomState(0)
+    for d in ("pred", "gt"):
+        os.makedirs(tmp_path / d, exist_ok=True)
+    for i in range(3):
+        img = (rng.rand(32, 32, 3) * 255).astype(np.uint8)
+        imageio.imwrite(str(tmp_path / "gt" / f"{i}.png"), img)
+        noisy = np.clip(img.astype(int) + rng.randint(-20, 20, img.shape),
+                        0, 255).astype(np.uint8)
+        imageio.imwrite(str(tmp_path / "pred" / f"{i}.png"), noisy)
+    r = subprocess.run(
+        [sys.executable, "-m", "pointnerf_tpu.eval_cli",
+         "--pred", str(tmp_path / "pred"), "--gt", str(tmp_path / "gt"),
+         "--metrics", "psnr", "ssim", "rmse"],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr
+    scores = (tmp_path / "pred" / "scores.txt").read_text()
+    assert "psnr:" in scores and "ssim:" in scores
