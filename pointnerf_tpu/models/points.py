@@ -136,10 +136,13 @@ def gather_points(pc: PointCloud, xyz_pers: jnp.ndarray,
         conf=take(1), color=take(3), dirs=take(3), mask=mask)
 
 
-def prune(pc: PointCloud, st: PointCloudStatic, thresh: float):
+def prune(pc: PointCloud, st: PointCloudStatic, thresh: float,
+          return_order: bool = False):
     """Drop points with conf <= thresh (NeuralPoints.prune, :350-373), packing
     survivors to the front of the same capacity bucket. Returns new
-    (pc, st, kept_count)."""
+    (pc, st, kept_count[, pack_order]) — the pack order lets callers permute
+    per-point optimizer moments along with the points (the reference instead
+    rebuilds its optimizers, losing all Adam state)."""
     n = pc.capacity
     alive = (jnp.arange(n) < st.num_active) & (pc.conf[:, 0] > thresh)
     order = jnp.argsort(~alive, stable=True)  # survivors first, stable
@@ -154,6 +157,8 @@ def prune(pc: PointCloud, st: PointCloudStatic, thresh: float):
         xyz=pack(pc.xyz, DEAD_XYZ), features=pack(pc.features, 0.0),
         conf=pack(pc.conf, 0.0), color=pack(pc.color, 0.0),
         dirs=pack(pc.dirs, 0.0))
+    if return_order:
+        return pc2, st._replace(num_active=kept), kept, order
     return pc2, st._replace(num_active=kept), kept
 
 

@@ -350,25 +350,38 @@ def sharded_prune(state: TrainState, scene: ShardedScene,
     semantics as the single-device apply_prune (train/grow.py), matching the
     reference DDP path's prune (train_ddp.py:913-937)."""
     from ..models.points import prune as _prune
-    from ..train.grow import _reinit_opt_state
 
     pc: PointCloud = state.params["points"]          # [mp, cap, ...]
-    sts = PointCloudStatic(num_active=scene.num_active,
-                           Rw2c=scene.Rw2c)
 
     def one(pc_s, n_s):
-        pc2, st2, kept = _prune(pc_s, PointCloudStatic(num_active=n_s,
-                                                       Rw2c=scene.Rw2c),
-                                cfg.train.prune_thresh)
-        return pc2, kept
+        pc2, st2, kept, order = _prune(
+            pc_s, PointCloudStatic(num_active=n_s, Rw2c=scene.Rw2c),
+            cfg.train.prune_thresh, return_order=True)
+        return pc2, kept, order
 
-    pc2, kept = jax.vmap(one)(pc, scene.num_active)
+    pc2, kept, orders = jax.vmap(one)(pc, scene.num_active)
     num_active = kept.astype(jnp.int32)
     from ..config import jit_canonical
     scene2 = build_sharded_scene(pc2, num_active, jit_canonical(cfg), mesh,
                                  Rw2c=scene.Rw2c)
     params = dict(state.params, points=pc2)
-    opt_state = _reinit_opt_state(params, cfg, state.step)
+
+    # carry Adam moments through the per-shard repack (see
+    # train/grow.py permute_point_opt_state)
+    cap = jax.tree.leaves(pc)[0].shape[1]
+
+    def per_shard(xs, o, k):
+        out = xs[o]
+        dead = jnp.arange(cap) >= k
+        return jnp.where(dead.reshape((-1,) + (1,) * (xs.ndim - 1)), 0.0,
+                         out)
+
+    def visit(x):
+        if (hasattr(x, "ndim") and x.ndim >= 2
+                and x.shape[:2] == (mesh.shape["mp"], cap)):
+            return jax.vmap(per_shard)(x, orders, kept)
+        return x
+    opt_state = jax.tree.map(visit, state.opt_state)
     new_state = TrainState(params=params, opt_state=opt_state,
                            step=state.step, key=state.key)
     # re-place on the mesh (vmap output may lose shardings)
@@ -388,10 +401,11 @@ def sharded_grow(state: TrainState, scene: ShardedScene, cand,
     """Append probe candidates round-robin across point shards (same
     balance rule as partition_points) and rebuild grids + Adam state."""
     from ..models.points import grow as _grow
-    from ..train.grow import ProbeCandidates, _reinit_opt_state
+    from ..train.grow import ProbeCandidates
 
     mp = mesh.shape["mp"]
     pc: PointCloud = state.params["points"]
+    opt_state = state.opt_state
     m = cand.xyz.shape[0]
     per = [np.arange(j, m, mp) for j in range(mp)]
     width = max((len(p) for p in per), default=0)
@@ -413,9 +427,18 @@ def sharded_grow(state: TrainState, scene: ShardedScene, cand,
             fill = DEAD_XYZ if x is pc.xyz else 0.0
             out = jnp.full((mp, new_cap) + x.shape[2:], fill, x.dtype)
             return out.at[:, : x.shape[1]].set(x)
-        pc = PointCloud(xyz=repad(pc.xyz), features=repad(pc.features),
-                        conf=repad(pc.conf), color=repad(pc.color),
-                        dirs=repad(pc.dirs))
+        old_pc = pc
+        pc = PointCloud(xyz=repad(old_pc.xyz), features=repad(old_pc.features),
+                        conf=repad(old_pc.conf), color=repad(old_pc.color),
+                        dirs=repad(old_pc.dirs))
+
+        def pad_visit(x):
+            if (hasattr(x, "ndim") and x.ndim >= 2
+                    and x.shape[:2] == (mp, cap)):
+                padz = jnp.zeros((mp, new_cap - cap) + x.shape[2:], x.dtype)
+                return jnp.concatenate([x, padz], axis=1)
+            return x
+        opt_state = jax.tree.map(pad_visit, opt_state)
 
     shards_pc, counts = [], []
     for j in range(mp):
@@ -438,7 +461,8 @@ def sharded_grow(state: TrainState, scene: ShardedScene, cand,
     scene2 = build_sharded_scene(pc2, num_active, jit_canonical(cfg), mesh,
                                  Rw2c=scene.Rw2c)
     params = dict(state.params, points=pc2)
-    opt_state = _reinit_opt_state(params, cfg, state.step)
+    # opt_state carried (padded above if re-bucketed): grown slots start
+    # with exact zero moments
     def put(tree, spec_tree):
         return jax.tree.map(
             lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),

@@ -164,24 +164,60 @@ def _reinit_opt_state(params, cfg: PointNeRFConfig, step: jnp.ndarray):
         opt_state)
 
 
+def permute_point_opt_state(opt_state, order, kept, capacity: int):
+    """Carry Adam moments through a prune repack: permute per-point moment
+    rows with the same pack order and zero the dead tail. Leaves are matched
+    by their leading dim == capacity (capacity >= 4096 > any MLP width, so
+    MLP moments never match). The reference loses all optimizer state on its
+    prune-restart; this preserves it."""
+    def visit(x):
+        if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == capacity:
+            out = x[order]
+            dead = jnp.arange(capacity) >= kept
+            return jnp.where(dead.reshape((-1,) + (1,) * (x.ndim - 1)),
+                             0.0, out)
+        return x
+    return jax.tree.map(visit, opt_state)
+
+
 def apply_prune(state: TrainState, st: PointCloudStatic,
                 cfg: PointNeRFConfig) -> Tuple[TrainState, PointCloudStatic, int]:
-    """Drop conf <= prune_thresh points, repack, reset+fast-forward Adam."""
-    pc2, st2, kept = prune(state.params["points"], st, cfg.train.prune_thresh)
+    """Drop conf <= prune_thresh points, repack, permute Adam moments along
+    (no optimizer reset — the post-prune quality dip of the reference's
+    rebuild disappears)."""
+    pc2, st2, kept, order = prune(state.params["points"], st,
+                                  cfg.train.prune_thresh, return_order=True)
     params = dict(state.params, points=pc2)
-    opt_state = _reinit_opt_state(params, cfg, state.step)
+    opt_state = permute_point_opt_state(state.opt_state, order, kept,
+                                        pc2.capacity)
     return (TrainState(params=params, opt_state=opt_state, step=state.step,
                        key=state.key), st2, int(kept))
+
+
+def pad_point_opt_state(opt_state, old_cap: int, new_cap: int):
+    """Zero-pad per-point Adam moments to a grown capacity bucket (new
+    slots had zero gradients, so zero moments are exact)."""
+    def visit(x):
+        if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == old_cap:
+            pad = jnp.zeros((new_cap - old_cap,) + x.shape[1:], x.dtype)
+            return jnp.concatenate([x, pad])
+        return x
+    return jax.tree.map(visit, opt_state)
 
 
 def apply_grow(state: TrainState, st: PointCloudStatic,
                cand: ProbeCandidates, cfg: PointNeRFConfig
                ) -> Tuple[TrainState, PointCloudStatic, int]:
-    """Append probe candidates, re-bucketing capacity if needed."""
+    """Append probe candidates, re-bucketing capacity if needed. Adam state
+    is carried: grown slots start with zero moments (dead slots never
+    received gradients), so no optimizer reset is required — unlike the
+    reference's grow-restart which drops all optimizer state."""
     pc: PointCloud = state.params["points"]
+    opt_state = state.opt_state
     n_new = cand.xyz.shape[0]
     needed = int(st.num_active) + n_new
     if needed > pc.capacity:
+        old_cap = pc.capacity
         new_cap = round_capacity(needed)
 
         def repad(a, fill):
@@ -191,6 +227,7 @@ def apply_grow(state: TrainState, st: PointCloudStatic,
                         features=repad(pc.features, 0.0),
                         conf=repad(pc.conf, 0.0), color=repad(pc.color, 0.0),
                         dirs=repad(pc.dirs, 0.0))
+        opt_state = pad_point_opt_state(opt_state, old_cap, new_cap)
     if n_new:
         pc, st, added = grow(pc, st, jnp.asarray(cand.xyz),
                              jnp.asarray(cand.embedding),
@@ -200,6 +237,5 @@ def apply_grow(state: TrainState, st: PointCloudStatic,
     else:
         added = 0
     params = dict(state.params, points=pc)
-    opt_state = _reinit_opt_state(params, cfg, state.step)
     return (TrainState(params=params, opt_state=opt_state, step=state.step,
                        key=state.key), st, added)

@@ -96,3 +96,51 @@ def test_resume_after_capacity_growth(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(restored.params["points"].xyz),
         np.asarray(state.params["points"].xyz))
+
+
+def test_prune_preserves_adam_moments():
+    """apply_prune permutes per-point Adam moments with the points instead
+    of resetting the optimizer (the reference loses all state on its
+    prune-restart)."""
+    from pointnerf_tpu.models.points import make_point_cloud
+    from pointnerf_tpu.train.grow import apply_prune
+    from pointnerf_tpu.train.step import create_train_state, refresh_grid, train_step
+    from test_render import make_batch
+    cfg = tiny_test_config()
+    xyz, campos, camrot = synthetic_scene(n_pts=200)
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    pc, st = make_point_cloud(xyz, k1, cfg.points, cfg.agg.point_features_dim,
+                              capacity=4096)
+    params = init_aggregator_params(k2, cfg.agg)
+    state = create_train_state(k3, params, pc, cfg)
+    grid = refresh_grid(pc, st, cfg)
+    batch = make_batch(campos, camrot)
+    for _ in range(3):
+        state, _ = train_step(state, st, grid, batch, cfg)
+
+    # find a per-point moment leaf (shape [capacity, F])
+    cap = state.params["points"].capacity
+    moment_leaves = [l for l in jax.tree.leaves(state.opt_state)
+                     if hasattr(l, "ndim") and l.ndim >= 1
+                     and l.shape[0] == cap]
+    assert moment_leaves, "no per-point moment leaves found"
+    assert any(float(jnp.abs(l).max()) > 0 for l in moment_leaves), \
+        "moments are all zero after training steps"
+
+    # prune half by conf
+    pc_now = state.params["points"]
+    conf = pc_now.conf.at[:100, 0].set(0.0)
+    state = state._replace(params=dict(state.params,
+                                       points=pc_now._replace(conf=conf)))
+    state2, st2, kept = apply_prune(state, st, cfg)
+    assert kept == 100
+    leaves2 = [l for l in jax.tree.leaves(state2.opt_state)
+               if hasattr(l, "ndim") and l.ndim >= 1 and l.shape[0] == cap]
+    # moments survive for the kept rows and the dead tail is zero
+    assert any(float(jnp.abs(l[:kept]).max()) > 0 for l in leaves2)
+    for l in leaves2:
+        assert float(jnp.abs(l[kept:]).max()) == 0.0
+    # and training continues fine
+    grid2 = refresh_grid(state2.params["points"], st2, cfg)
+    state3, items = train_step(state2, st2, grid2, batch, cfg)
+    assert np.isfinite(float(items["loss_total"]))
