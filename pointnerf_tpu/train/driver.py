@@ -698,6 +698,103 @@ def test_dataset_scene(dataset_name: str, data_root: str, scan: str,
     return m
 
 
+def render_video_from_checkpoint(dataset_name: str, data_root: str,
+                                 scan: str, run_dir: str,
+                                 cfg: Optional[PointNeRFConfig] = None,
+                                 n_frames: int = 40, fps: int = 12):
+    """Spiral video from the latest checkpoint (run/render_vid.py): uses the
+    dataset's get_dummyrot_item render path."""
+    from ..config import DataConfig, scene_config
+    from ..data import find_dataset_class_by_name
+    from ..models.aggregator import init_aggregator_params
+    from ..models.points import make_point_cloud
+
+    dcfg = DataConfig(dataset_name=dataset_name, data_root=data_root,
+                      scan=scan)
+    ds = find_dataset_class_by_name(dataset_name)(dcfg, split="train")
+    if not hasattr(ds, "get_dummyrot_item"):
+        raise SystemExit(f"{dataset_name} has no spiral render path")
+    cloud = ds.load_init_points()
+    if cfg is None:
+        cfg = scene_config(cloud["xyz"], near=float(ds.near),
+                           far=float(ds.far))
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(cfg.train.seed), 3)
+    pc, st = make_point_cloud(cloud["xyz"], k1, cfg.points,
+                              cfg.agg.point_features_dim,
+                              color=cloud.get("color"),
+                              dirs=cloud.get("normal"))
+    state = create_train_state(k3, init_aggregator_params(k2, cfg.agg), pc,
+                               cfg)
+    path = latest_checkpoint(run_dir)
+    if path is None:
+        raise SystemExit(f"no checkpoint under {run_dir}")
+    state, meta = load_checkpoint(path, state)
+    if meta.get("num_active") is not None:
+        st = st._replace(num_active=jnp.asarray(meta["num_active"], jnp.int32))
+    grid = refresh_grid(state.params["points"], st, cfg)
+    items = [ds.get_dummyrot_item(i, n_frames=n_frames)
+             for i in range(n_frames)]
+    out = render_video(state.params, st, grid, cfg, items,
+                       (ds.width, ds.height), run_dir)
+    print("video:", out)
+    return out
+
+
+def train_feedforward_dataset(data_root: str, scan: str, run_dir: str,
+                              max_steps: int = 1000,
+                              cfg: Optional[PointNeRFConfig] = None,
+                              nsrc: int = 2, n_depths: int = 48,
+                              n_rays: int = 1024, log_every: int = 50):
+    """Generalization training on a DTU-format dataset — the run/train.py
+    path (mode 0): per step, one MVS view group builds a fresh differentiable
+    cloud and target-view rays supervise both the shading MLPs and the MVS
+    nets (train/feedforward.py)."""
+    from ..config import DataConfig, scene_config
+    from ..data import find_dataset_class_by_name
+    from ..models.aggregator import init_aggregator_params
+    from ..mvs.points_init import MvsPointsInit, init_mvs_points, view_proj_mats
+    from .feedforward import MVSBatch, create_ff_state, make_feedforward_step
+
+    dcfg = DataConfig(dataset_name="dtu", data_root=data_root, scan=scan)
+    ds = find_dataset_class_by_name("dtu")(dcfg, split="train", nsrc=nsrc,
+                                           n_depths=n_depths)
+    g0 = ds.get_mvs_item(0)
+    V, H, W = g0["images"].shape[:3]
+    if cfg is None:
+        near, far = float(g0["depth_values"][0]), float(g0["depth_values"][-1])
+        span = far - near
+        center = 0.0  # scene AABB unknown a priori: derive from frustum
+        cfg = scene_config(np.array([[-span, -span, -span],
+                                     [span, span, span]], np.float32),
+                           near=near, far=far)
+    model = MvsPointsInit(point_features_dim=cfg.agg.point_features_dim)
+    variables = init_mvs_points(model, jax.random.PRNGKey(0), V=V, H=H, W=W,
+                                n_depths=n_depths)
+    agg_params = init_aggregator_params(jax.random.PRNGKey(1), cfg.agg)
+    state = create_ff_state(jax.random.PRNGKey(2), variables, agg_params, cfg)
+    capacity = (H // 4) * (W // 4)
+    step_fn, infer_cloud = make_feedforward_step(cfg, model,
+                                                 capacity=capacity)
+    vis = Visualizer(run_dir, name="feedforward")
+    rng = np.random.RandomState(cfg.train.seed)
+    for i in range(max_steps):
+        gi = rng.randint(0, len(ds))
+        g = ds.get_mvs_item(gi)
+        item = ds.get_item(gi, random_sample="random",
+                           random_sample_size=int(np.sqrt(n_rays)), seed=i)
+        rays = _to_batch(item, cfg)
+        batch = MVSBatch(
+            images=jnp.asarray(g["images"]),
+            proj_mats=jnp.asarray(view_proj_mats(g["Ks"], g["w2cs"], 0)),
+            Ks=jnp.asarray(g["Ks"]), w2cs=jnp.asarray(g["w2cs"]),
+            depth_values=jnp.asarray(g["depth_values"]), rays=rays)
+        state, items = step_fn(state, batch)
+        vis.accumulate_losses(items)
+        if (i + 1) % log_every == 0:
+            vis.print_losses(i + 1)
+    return state, infer_cloud
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--demo", action="store_true")
@@ -718,10 +815,22 @@ def main():
                          "(nerf_synth360_ft | tt_ft | scannet_ft | llff_ft)")
     ap.add_argument("--data-root", default="")
     ap.add_argument("--scan", default="lego")
+    ap.add_argument("--video", action="store_true",
+                    help="render a spiral video from the latest checkpoint "
+                         "(use with --dataset/--data-root/--scan)")
+    ap.add_argument("--ff-dataset", action="store_true",
+                    help="feed-forward generalization training on a "
+                         "DTU-format --data-root/--scan (run/train.py mode)")
     args = ap.parse_args()
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
-    if args.dataset and args.test:
+    if args.dataset and args.video:
+        render_video_from_checkpoint(args.dataset, args.data_root, args.scan,
+                                     run_dir=args.run_dir)
+    elif args.ff_dataset:
+        train_feedforward_dataset(args.data_root, args.scan,
+                                  run_dir=args.run_dir, max_steps=args.steps)
+    elif args.dataset and args.test:
         test_dataset_scene(args.dataset, args.data_root, args.scan,
                            run_dir=args.run_dir)
     elif args.dataset:

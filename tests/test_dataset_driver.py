@@ -130,3 +130,69 @@ def test_dtu_mvs_init_scene(tmp_path):
                              point_features_dim=32))
     assert int(state.step) == 3
     assert int(st.num_active) > 0  # MVS produced a usable cloud
+
+
+def test_feedforward_dataset_dtu(tmp_path):
+    """run/train.py path on a DTU fixture: MVS groups drive the
+    feed-forward trainer end to end."""
+    import dataclasses
+    import imageio.v2 as imageio
+    from pointnerf_tpu.config import (AggregatorConfig, PointNeRFConfig,
+                                      QueryConfig, RenderConfig)
+    from pointnerf_tpu.train.driver import train_feedforward_dataset
+    rng = np.random.RandomState(0)
+    cams = tmp_path / "Cameras"
+    os.makedirs(cams / "train", exist_ok=True)
+    (cams / "pair.txt").write_text(
+        "2\n0\n2 1 10.0 2 5.0\n1\n2 0 10.0 2 5.0\n")
+    for v in range(3):
+        ext = np.eye(4)
+        ext[0, 3] = v * 0.1
+        txt = ("extrinsic\n"
+               + "\n".join(" ".join(str(x) for x in row) for row in ext)
+               + "\n\nintrinsic\n25 0 16\n0 25 16\n0 0 1\n\n2.0 0.05\n")
+        (cams / "train" / f"{v:08d}_cam.txt").write_text(txt)
+        os.makedirs(tmp_path / "Rectified" / "scan1_train", exist_ok=True)
+        imageio.imwrite(
+            str(tmp_path / "Rectified" / "scan1_train"
+                / f"rect_{v + 1:03d}_3_r5000.png"),
+            (rng.rand(32, 32, 3) * 255).astype(np.uint8))
+    cfg = PointNeRFConfig(
+        query=QueryConfig(vsize=(0.3, 0.3, 0.3), vscale=(2.0, 2.0, 2.0),
+                          max_o=2048, P=8, K=4, SR=8, z_depth_dim=24,
+                          ranges=(-6.0, -6.0, -6.0, 6.0, 6.0, 6.0),
+                          knn_chunk=1024),
+        agg=AggregatorConfig(point_features_dim=8, shading_feature_num=32,
+                             num_feat_freqs=2, dist_xyz_freq=3,
+                             num_pos_freqs=4, num_viewdir_freqs=2),
+        render=RenderConfig(near_plane=2.0, far_plane=3.2))
+    state, infer = train_feedforward_dataset(
+        str(tmp_path), "scan1", run_dir=str(tmp_path / "ffrun"),
+        max_steps=4, cfg=cfg, n_depths=24, n_rays=36, log_every=2)
+    assert int(state.step) == 4
+
+
+def test_video_from_checkpoint(tmp_path):
+    """run/render_vid.py equivalent: spiral video from a saved checkpoint."""
+    import dataclasses
+    from pointnerf_tpu.train.driver import (render_video_from_checkpoint,
+                                            train_dataset_scene)
+    root = tmp_path / "lego"
+    _fixture_scene(root)
+    cfg = scene_config(
+        np.random.RandomState(0).normal(0, 0.3, (300, 3)).astype(np.float32),
+        vox_res=16, K=4, SR=8, z_depth_dim=32, near=2.0, far=4.5)
+    cfg = cfg.replace(
+        train=dataclasses.replace(cfg.train, random_sample_size=6,
+                                  maximum_step=3, prune_iter=0, prob_freq=0,
+                                  test_freq=0, save_iter_freq=3,
+                                  print_freq=3),
+        query=dataclasses.replace(cfg.query, max_o=4096, P=8,
+                                  knn_chunk=2048))
+    train_dataset_scene("nerf_synth360_ft", str(tmp_path), "lego",
+                        run_dir=str(tmp_path / "run"), max_steps=3, cfg=cfg,
+                        resume=False)
+    out = render_video_from_checkpoint(
+        "nerf_synth360_ft", str(tmp_path), "lego",
+        run_dir=str(tmp_path / "run"), cfg=cfg, n_frames=2, fps=2)
+    assert os.path.exists(out)
