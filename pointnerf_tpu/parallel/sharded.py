@@ -50,7 +50,8 @@ from ..models.points import (DEAD_XYZ, PointCloud, PointCloudStatic,
 from ..models.renderer import RayBatch, RenderOutput, shade
 from ..ops.grid import PointGrid, build_grid, grid_meta
 from ..ops.query import (RAY_GENERATORS, knn_query, select_shading_points)
-from ..train.optim import apply_grad_flags, freeze_points, make_optimizer
+from ..train.optim import (alternated_update, apply_grad_flags,
+                           freeze_points, make_optimizer)
 from ..train.step import TrainState
 
 
@@ -293,7 +294,9 @@ def make_sharded_train_step(cfg: PointNeRFConfig, mesh: Mesh):
         key, sub = jax.random.split(state.key)
         grads, total, items = grads_sm(state.params, scene, batch, sub)
         grads["points"] = apply_grad_flags(grads["points"], cfg.points)
-        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        updates, new_opt = alternated_update(tx, grads, state.opt_state,
+                                             state.params, state.step,
+                                             cfg.train.alter_step)
         new_params = optax.apply_updates(state.params, updates)
         items["loss_total"] = total
         items["psnr"] = mse2psnr(items.pop("mse"))
@@ -341,14 +344,34 @@ def make_sharded_eval_step(cfg: PointNeRFConfig, mesh: Mesh,
     return step
 
 
+def _place_opt_state(opt_state, mesh: Mesh, cap: int):
+    """Re-place optimizer state on the mesh: per-point moment leaves (leading
+    [mp, cap] axes) sharded over mp, everything else replicated. Host-side
+    repacks (vmap / jnp.concatenate) can silently drop shardings; without
+    this the per-point Adam moments would replicate across devices and
+    defeat the memory scaling that motivates mp-sharding."""
+    mp = mesh.shape["mp"]
+
+    def put(x):
+        if (hasattr(x, "ndim") and x.ndim >= 2
+                and x.shape[:2] == (mp, cap)):
+            spec = P("mp")
+        else:
+            spec = P()
+        return jax.device_put(x, NamedSharding(mesh, spec))
+    return jax.tree.map(put, opt_state)
+
+
 def sharded_prune(state: TrainState, scene: ShardedScene,
                   cfg: PointNeRFConfig, mesh: Mesh
                   ) -> Tuple[TrainState, ShardedScene, int]:
     """Confidence pruning on the sharded cloud: each shard packs its own
     survivors (vmapped models.points.prune over the mp axis), grids are
-    rebuilt, Adam state reset with the schedule fast-forwarded — the same
-    semantics as the single-device apply_prune (train/grow.py), matching the
-    reference DDP path's prune (train_ddp.py:913-937)."""
+    rebuilt, and the per-shard Adam moments are carried through the repack
+    (permuted with the pack order, dead tail zeroed — same moment-carry
+    semantics as the single-device apply_prune, train/grow.py). The
+    reference DDP path instead rebuilds its optimizers after pruning
+    (train_ddp.py:913-937), losing all moment state."""
     from ..models.points import prune as _prune
 
     pc: PointCloud = state.params["points"]          # [mp, cap, ...]
@@ -381,17 +404,17 @@ def sharded_prune(state: TrainState, scene: ShardedScene,
                 and x.shape[:2] == (mesh.shape["mp"], cap)):
             return jax.vmap(per_shard)(x, orders, kept)
         return x
-    opt_state = jax.tree.map(visit, state.opt_state)
-    new_state = TrainState(params=params, opt_state=opt_state,
-                           step=state.step, key=state.key)
-    # re-place on the mesh (vmap output may lose shardings)
+    opt_state = _place_opt_state(jax.tree.map(visit, state.opt_state),
+                                 mesh, cap)
+    # re-place params on the mesh (vmap output may lose shardings)
     def put(tree, spec_tree):
         return jax.tree.map(
             lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
             tree, spec_tree)
     pspec = {"mlp": jax.tree.map(lambda _: P(), params["mlp"]),
              "points": jax.tree.map(lambda _: P("mp"), pc2)}
-    new_state = new_state._replace(params=put(params, pspec))
+    new_state = TrainState(params=put(params, pspec), opt_state=opt_state,
+                           step=state.step, key=state.key)
     return new_state, scene2, int(jnp.sum(kept))
 
 
@@ -463,6 +486,8 @@ def sharded_grow(state: TrainState, scene: ShardedScene, cand,
     params = dict(state.params, points=pc2)
     # opt_state carried (padded above if re-bucketed): grown slots start
     # with exact zero moments
+    opt_state = _place_opt_state(opt_state, mesh,
+                                 jax.tree.leaves(pc2)[0].shape[1])
     def put(tree, spec_tree):
         return jax.tree.map(
             lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),

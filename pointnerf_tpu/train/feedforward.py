@@ -28,7 +28,7 @@ from ..models.points import PointCloud, PointCloudStatic
 from ..models.renderer import RayBatch, render_rays
 from ..mvs.points_init import MvsPointsInit
 from ..ops.grid import build_grid
-from .optim import alter_mask, lr_schedule, masked_updates
+from .optim import alternated_update, lr_schedule
 
 
 class MVSBatch(NamedTuple):
@@ -133,12 +133,9 @@ def make_feedforward_step(cfg: PointNeRFConfig, model: MvsPointsInit,
         key, sub = jax.random.split(state.key)
         (total, (items, new_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params, state.mvs_stats, batch, sub)
-        updates, new_opt = tx.update(grads, state.opt_state, state.params)
-        if cfg.train.alter_step > 0:
-            mlp_on, mvs_on = alter_mask(state.step, cfg.train.alter_step)
-            updates = masked_updates(
-                {"mlp": updates["mlp"], "mvs": updates["mvs"]}, mlp_on,
-                mvs_on)
+        updates, new_opt = alternated_update(tx, grads, state.opt_state,
+                                             state.params, state.step,
+                                             cfg.train.alter_step)
         new_params = optax.apply_updates(state.params, updates)
         items["loss_total"] = total
         return FFState(params=new_params, opt_state=new_opt,

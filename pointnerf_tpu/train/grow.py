@@ -12,10 +12,11 @@ Reimplements the reference's per-scene point maintenance:
 The reference restarts the whole process after growing (exit() at
 train_ft.py:918 + the bash loop lego.sh:163) because torch optimizers can't
 survive a shape change. Here point arrays live in fixed-capacity buckets
-(models/points.py), so growth is in-place; like the reference restart, the
-Adam state is re-initialized afterwards, with the schedule count
-fast-forwarded to the current step (the reference fast-forwards schedulers
-the same way, train_ft.py:790-793).
+(models/points.py), so growth is in-place and the Adam state is CARRIED
+through every point-set change: prune permutes per-point moments with the
+pack order (permute_point_opt_state), grow appends zero-moment slots
+(pad_point_opt_state). No reset, no schedule fast-forward — the post-prune
+quality collapse of the reference's rebuild disappears (PERF.md A/B).
 """
 from __future__ import annotations
 
@@ -29,7 +30,6 @@ from ..config import PointNeRFConfig
 from ..models.points import (DEAD_XYZ, PointCloud, PointCloudStatic, grow,
                              prune, round_capacity)
 from ..models.renderer import RayBatch
-from .optim import make_optimizer
 from .step import TrainState, eval_step, refresh_grid
 
 
@@ -147,21 +147,6 @@ def probe_hole(params, st, grid, cfg: PointNeRFConfig, items: List[Dict],
                                  prob=True)
         accumulate_probe_candidates(adds, maps, item, cfg, wh, bg)
     return finalize_probe_candidates(adds, cfg)
-
-
-def _reinit_opt_state(params, cfg: PointNeRFConfig, step: jnp.ndarray):
-    """Fresh Adam state with the lr-schedule count fast-forwarded to `step`
-    (reference scheduler fast-forward, train_ft.py:790-793)."""
-    tx = make_optimizer(cfg)
-    opt_state = tx.init(params)
-    # `step + 0` (not asarray) so every count leaf gets its OWN buffer —
-    # aliased leaves break the train step's donation (same buffer donated
-    # twice in one Execute).
-    return jax.tree.map(
-        lambda x: (step.astype(x.dtype) + jnp.zeros((), x.dtype)
-                   if (hasattr(x, "ndim") and x.ndim == 0
-                       and jnp.issubdtype(x.dtype, jnp.integer)) else x),
-        opt_state)
 
 
 def permute_point_opt_state(opt_state, order, kept, capacity: int):

@@ -89,3 +89,30 @@ def masked_updates(updates: Dict[str, Any], mlp_on, other_on):
         return on.astype(jnp.float32)
     return {k: jax.tree.map(lambda u, s=scale(k): u * s, v)
             for k, v in updates.items()}
+
+
+def alternated_update(tx: optax.GradientTransformation, grads, opt_state,
+                      params, step, alter_step: int):
+    """tx.update with reference-faithful alternation (_ori.py:210-217).
+
+    The reference steps the two Adams *alternately*: on an off phase the
+    inactive optimizer sees nothing — no moment decay, no bias-correction
+    count advance. A plain mask over the applied updates is NOT equivalent:
+    tx.update would still fold the off-phase gradients into the inactive
+    group's moments and advance its count, so the group reactivates with
+    contaminated state. Here the inactive group's updates are zeroed AND its
+    inner optimizer state is carried through unchanged (jnp.where select on
+    the multi_transform inner_states), so off phases are true no-ops for it.
+    """
+    if alter_step <= 0:
+        return tx.update(grads, opt_state, params)
+    mlp_on, other_on = alter_mask(step, alter_step)
+    updates, new_opt = tx.update(grads, opt_state, params)
+    updates = masked_updates(updates, mlp_on, other_on)
+    inner = {}
+    for k, new_s in new_opt.inner_states.items():
+        on = mlp_on if k == "mlp" else other_on
+        old_s = opt_state.inner_states[k]
+        inner[k] = jax.tree.map(
+            lambda n, o, on=on: jnp.where(on, n, o), new_s, old_s)
+    return updates, new_opt._replace(inner_states=inner)

@@ -18,8 +18,8 @@ from ..models.losses import compute_losses, mse2psnr
 from ..models.points import PointCloud, PointCloudStatic
 from ..models.renderer import RayBatch, RenderOutput, render_rays
 from ..ops.grid import PointGrid, build_grid
-from .optim import (alter_mask, apply_grad_flags, freeze_points,
-                    make_optimizer, masked_updates)
+from .optim import (alternated_update, apply_grad_flags, freeze_points,
+                    make_optimizer)
 
 
 class TrainState(NamedTuple):
@@ -69,10 +69,9 @@ def train_step(state: TrainState, st: PointCloudStatic, grid: PointGrid,
     grads["points"] = apply_grad_flags(grads["points"], cfg.points)
 
     tx = make_optimizer(cfg)
-    updates, new_opt = tx.update(grads, state.opt_state, state.params)
-    if cfg.train.alter_step > 0:
-        mlp_on, pts_on = alter_mask(state.step, cfg.train.alter_step)
-        updates = masked_updates(updates, mlp_on, pts_on)
+    updates, new_opt = alternated_update(tx, grads, state.opt_state,
+                                         state.params, state.step,
+                                         cfg.train.alter_step)
     new_params = optax.apply_updates(state.params, updates)
     items["loss_total"] = total
     return TrainState(params=new_params, opt_state=new_opt,

@@ -144,3 +144,47 @@ def test_prune_preserves_adam_moments():
     grid2 = refresh_grid(state2.params["points"], st2, cfg)
     state3, items = train_step(state2, st2, grid2, batch, cfg)
     assert np.isfinite(float(items["loss_total"]))
+
+
+def test_alternation_isolates_inactive_optimizer():
+    """alter_step > 0 must match the reference's ALTERNATE optimizer
+    stepping (_ori.py:210-217): the off-phase group's params AND its Adam
+    state (moments + bias-correction count) stay untouched. A plain update
+    mask is not enough — tx.update would fold off-phase gradients into the
+    inactive group's moments (round-1 advisor finding, train/step.py)."""
+    from pointnerf_tpu.config import jit_canonical
+    from pointnerf_tpu.models.points import make_point_cloud
+    from pointnerf_tpu.train.step import create_train_state, train_step
+    cfg = tiny_test_config()
+    cfg = cfg.replace(train=dataclasses.replace(cfg.train, alter_step=1))
+    xyz, campos, camrot = synthetic_scene()
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    pc, st = make_point_cloud(xyz, k1, cfg.points, cfg.agg.point_features_dim,
+                              capacity=512)
+    grid = refresh_grid(pc, st, cfg)
+    state = create_train_state(k3, init_aggregator_params(k2, cfg.agg), pc,
+                               cfg)
+    batch = make_batch(campos, camrot)
+    cfgj = jit_canonical(cfg)
+
+    def snap(t):
+        return jax.tree.map(lambda x: np.asarray(x).copy(), t)
+
+    def same(a, b):
+        la, lb = jax.tree.leaves(a), jax.tree.leaves(b)
+        return all(np.array_equal(x, y) for x, y in zip(la, lb))
+
+    s0 = snap(state)
+    state, _ = train_step(state, st, grid, batch, cfgj)   # step 0: mlp phase
+    s1 = snap(state)
+    assert same(s0.params["points"], s1.params["points"])
+    assert same(s0.opt_state.inner_states["points"],
+                s1.opt_state.inner_states["points"])
+    assert not same(s0.params["mlp"], s1.params["mlp"])
+
+    state, _ = train_step(state, st, grid, batch, cfgj)   # step 1: points
+    s2 = snap(state)
+    assert same(s1.params["mlp"], s2.params["mlp"])
+    assert same(s1.opt_state.inner_states["mlp"],
+                s2.opt_state.inner_states["mlp"])
+    assert not same(s1.params["points"], s2.params["points"])
