@@ -24,10 +24,10 @@ from . import register_dataset
 def read_cam_file(path: str) -> Tuple[np.ndarray, np.ndarray, float, float]:
     with open(path) as f:
         lines = [l.strip() for l in f.readlines()]
-    ext = np.fromstring(" ".join(lines[1:5]), dtype=np.float32, sep=" "
-                        ).reshape(4, 4)
-    intr = np.fromstring(" ".join(lines[7:10]), dtype=np.float32, sep=" "
-                         ).reshape(3, 3)
+    ext = np.array(" ".join(lines[1:5]).split(),
+                   dtype=np.float32).reshape(4, 4)
+    intr = np.array(" ".join(lines[7:10]).split(),
+                    dtype=np.float32).reshape(3, 3)
     vals = [float(v) for v in lines[11].split()]
     depth_min = vals[0]
     depth_interval = vals[1] if len(vals) > 1 else 2.5

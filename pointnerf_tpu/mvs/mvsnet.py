@@ -25,16 +25,21 @@ from ..ops.sample2d import bilinear_sample
 
 
 class ConvBnReLU(nn.Module):
+    """Conv2d(bias=False) + BN + ReLU (module.py:6-13). Explicit symmetric
+    padding k//2 matches torch exactly — XLA "SAME" splits stride-2 padding
+    asymmetrically ((1,2) for k=5 s=2 where torch pads (2,2)), which shifts
+    border pixels and breaks imported-checkpoint parity."""
     out_ch: int
     kernel: int = 3
     stride: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        p = self.kernel // 2
         x = nn.Conv(self.out_ch, (self.kernel,) * 2,
-                    strides=(self.stride,) * 2, padding="SAME",
-                    use_bias=False)(x)
-        x = nn.BatchNorm(use_running_average=not train)(x)
+                    strides=(self.stride,) * 2, padding=[(p, p)] * 2,
+                    use_bias=False, name="conv")(x)
+        x = nn.BatchNorm(use_running_average=not train, name="bn")(x)
         return nn.relu(x)
 
 
@@ -45,59 +50,84 @@ class ConvBnReLU3D(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        p = self.kernel // 2
         x = nn.Conv(self.out_ch, (self.kernel,) * 3,
-                    strides=(self.stride,) * 3, padding="SAME",
-                    use_bias=False)(x)
-        x = nn.BatchNorm(use_running_average=not train)(x)
+                    strides=(self.stride,) * 3, padding=[(p, p)] * 3,
+                    use_bias=False, name="conv")(x)
+        x = nn.BatchNorm(use_running_average=not train, name="bn")(x)
+        return nn.relu(x)
+
+
+class DeconvBnReLU3D(nn.Module):
+    """ConvTranspose3d(k=3, s=2, pad=1, output_pad=1, bias=False) + BN + ReLU
+    (mvsnet.py:44-57). torch's transposed conv == lhs-dilated conv with the
+    FLIPPED kernel and pads (k-1-pad, k-1-pad+output_pad) = (1, 2); flax
+    expresses that as ConvTranspose(transpose_kernel=True, padding=((1,2),))."""
+    out_ch: int
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.ConvTranspose(self.out_ch, (3, 3, 3), strides=(2, 2, 2),
+                             padding=[(1, 2)] * 3, transpose_kernel=True,
+                             use_bias=False, name="deconv")(x)
+        x = nn.BatchNorm(use_running_average=not train, name="bn")(x)
         return nn.relu(x)
 
 
 class FeatureNet(nn.Module):
-    """3 -> 32 channels at 1/4 resolution (mvsnet.py:7-27)."""
+    """3 -> 32 channels at 1/4 resolution (mvsnet.py:7-27). Submodule names
+    mirror the torch attribute names so checkpoint import is 1:1
+    (mvs/torch_import.py)."""
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = ConvBnReLU(8)(x, train)
-        x = ConvBnReLU(8)(x, train)
-        x = ConvBnReLU(16, kernel=5, stride=2)(x, train)
-        x = ConvBnReLU(16)(x, train)
-        x = ConvBnReLU(16)(x, train)
-        x = ConvBnReLU(32, kernel=5, stride=2)(x, train)
-        x = ConvBnReLU(32)(x, train)
-        return nn.Conv(32, (3, 3), padding="SAME")(x)
+        x = ConvBnReLU(8, name="conv0")(x, train)
+        x = ConvBnReLU(8, name="conv1")(x, train)
+        x = ConvBnReLU(16, kernel=5, stride=2, name="conv2")(x, train)
+        x = ConvBnReLU(16, name="conv3")(x, train)
+        x = ConvBnReLU(16, name="conv4")(x, train)
+        x = ConvBnReLU(32, kernel=5, stride=2, name="conv5")(x, train)
+        x = ConvBnReLU(32, name="conv6")(x, train)
+        return nn.Conv(32, (3, 3), padding=[(1, 1)] * 2, name="feature")(x)
 
 
 class CostRegNet(nn.Module):
     """3D UNet cost regularization (mvsnet.py:30-71). Input [D,H,W,32] ->
-    [D,H,W,1]."""
+    [D,H,W,1]. Names mirror the torch attributes (conv7/conv9/conv11 are the
+    up blocks)."""
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        c0 = ConvBnReLU3D(8)(x, train)
-        c2 = ConvBnReLU3D(16)(ConvBnReLU3D(16, stride=2)(c0, train), train)
-        c4 = ConvBnReLU3D(32)(ConvBnReLU3D(32, stride=2)(c2, train), train)
-        x = ConvBnReLU3D(64)(ConvBnReLU3D(64, stride=2)(c4, train), train)
-
-        def up(x, ch):
-            x = nn.ConvTranspose(ch, (3, 3, 3), strides=(2, 2, 2),
-                                 padding="SAME", use_bias=False)(x)
-            x = nn.BatchNorm(use_running_average=not train)(x)
-            return nn.relu(x)
-
-        x = c4 + up(x, 32)
-        x = c2 + up(x, 16)
-        x = c0 + up(x, 8)
-        return nn.Conv(1, (3, 3, 3), padding="SAME")(x)
+        c0 = ConvBnReLU3D(8, name="conv0")(x, train)
+        c2 = ConvBnReLU3D(16, name="conv2")(
+            ConvBnReLU3D(16, stride=2, name="conv1")(c0, train), train)
+        c4 = ConvBnReLU3D(32, name="conv4")(
+            ConvBnReLU3D(32, stride=2, name="conv3")(c2, train), train)
+        x = ConvBnReLU3D(64, name="conv6")(
+            ConvBnReLU3D(64, stride=2, name="conv5")(c4, train), train)
+        x = c4 + DeconvBnReLU3D(32, name="conv7")(x, train)
+        x = c2 + DeconvBnReLU3D(16, name="conv9")(x, train)
+        x = c0 + DeconvBnReLU3D(8, name="conv11")(x, train)
+        return nn.Conv(1, (3, 3, 3), padding=[(1, 1)] * 3, name="prob")(x)
 
 
 def homo_warp(src_feat: jnp.ndarray, proj: jnp.ndarray,
-              depth_values: jnp.ndarray) -> jnp.ndarray:
+              depth_values: jnp.ndarray,
+              align_corners: bool = True) -> jnp.ndarray:
     """Plane-sweep warp of one source feature map into the reference view.
 
     src_feat: [H, W, C]; proj: [4,4] src@ref^-1 combined projection;
     depth_values: [D]. Returns [D, H, W, C] (module.py homo_warping:36-73,
-    channels-last; the (W-1)/2 normalization there is align_corners=True,
-    equivalent to sampling directly at pixel coords as done here)."""
+    channels-last).
+
+    align_corners: the reference normalizes by (W-1)/2 (align_corners=True
+    convention, module.py:61-62) but then calls grid_sample under torch
+    1.8 whose DEFAULT is align_corners=False — its samples actually land at
+    px*W/(W-1) - 0.5, a slight scale+shift. True (default) samples at the
+    geometrically intended pixel coords; False reproduces the reference's
+    as-run torch behavior bit-for-bit (required when importing torch
+    MVSNet checkpoints so the features match what the weights were
+    finetuned/evaluated with)."""
     H, W, C = src_feat.shape
     D = depth_values.shape[0]
     y, x = jnp.meshgrid(jnp.arange(H, dtype=jnp.float32),
@@ -112,6 +142,9 @@ def homo_warp(src_feat: jnp.ndarray, proj: jnp.ndarray,
     z = pts[2]
     px = pts[0] / z
     py = pts[1] / z
+    if not align_corners:
+        px = px * (W / (W - 1)) - 0.5
+        py = py * (H / (H - 1)) - 0.5
     sampled = bilinear_sample(src_feat, px.reshape(-1), py.reshape(-1))
     # behind-camera samples are invalid (grid_sample would place them
     # off-grid through the sign flip; mask explicitly)
@@ -128,7 +161,11 @@ def depth_regression(prob: jnp.ndarray, depth_values: jnp.ndarray
 
 class MVSNet(nn.Module):
     """Full depth network (mvsnet.py:90-141). Operates on one reference view
-    with V images; no batch dim (vmap for batches)."""
+    with V images; no batch dim (vmap for batches).
+
+    align_corners=False reproduces the reference's as-run grid_sample
+    semantics (see homo_warp) — use it with torch-imported checkpoints."""
+    align_corners: bool = True
 
     def setup(self):
         self.feature = FeatureNet()
@@ -162,7 +199,7 @@ class MVSNet(nn.Module):
         def body(carry, inp):
             s, sq = carry
             feat, proj = inp
-            w = homo_warp(feat, proj, depth_values)
+            w = homo_warp(feat, proj, depth_values, self.align_corners)
             return (s + w, sq + w * w), None
 
         h, w_, C = features.shape[1:]

@@ -50,9 +50,10 @@ class MvsPointsInit(nn.Module):
     `method=`."""
     point_features_dim: int = 32
     premlp_layers: int = 1          # shading_feature_mlp_layer0
+    align_corners: bool = True      # False for torch-imported checkpoints
 
     def setup(self):
-        self.mvsnet = MVSNet()
+        self.mvsnet = MVSNet(align_corners=self.align_corners)
         if self.premlp_layers > 0:
             self.premlp = [nn.Dense(self.point_features_dim)
                            for _ in range(self.premlp_layers)]
@@ -125,6 +126,22 @@ def init_mvs_points(model: MvsPointsInit, rng, V: int = 3, H: int = 32,
         return None
 
     return model.init(rng, method=init_all)
+
+
+def load_pretrained_mvsnet(variables, ckpt_path: str):
+    """Overwrite the MVSNet subtree of an MvsPointsInit variables dict with
+    a converted torch checkpoint (the reference's pretrained-init path,
+    mvs_points_model.py:38-90). The premlp stays at its fresh init — the
+    reference trains it per scene. Build the model with align_corners=False
+    to match the checkpoint's as-run grid_sample semantics."""
+    from .torch_import import load_mvsnet_checkpoint
+
+    conv = load_mvsnet_checkpoint(ckpt_path)
+    out = dict(variables)
+    out["params"] = dict(variables["params"], mvsnet=conv["params"])
+    out["batch_stats"] = dict(variables.get("batch_stats", {}),
+                              mvsnet=conv["batch_stats"])
+    return out
 
 
 def gen_scene_points(params, model: MvsPointsInit, images: np.ndarray,
