@@ -148,6 +148,13 @@ class RenderConfig:
     bg_color: Tuple[float, float, float] = (1.0, 1.0, 1.0)
     train_jitter: float = 0.3    # ray-sample jitter fraction during training
                                  # reference: query_point_indices_worldcoords.py:91-94
+    fine_sample_num: int = 0     # >0: hierarchical second pass — importance-
+                                 # resample shading locations from the coarse
+                                 # blend weights (refine_ray_generation,
+                                 # diff_ray_marching.py:396-433) and render
+                                 # `fine_raycolor` with the same decoder
+    ray_middle: float = 2.0      # near_middle_far split point (:142-198)
+    ray_middle_split: float = 0.6
 
 
 @dataclass(frozen=True)
@@ -295,6 +302,15 @@ def effective_ray_generator(cfg: PointNeRFConfig) -> str:
         return name
     return ("near_far_disparity_linear" if cfg.query.inverse > 0
             else "near_far_linear")
+
+
+def generator_kwargs(cfg: PointNeRFConfig) -> Tuple:
+    """Hashable extra kwargs for the resolved ray generator (near_middle_far
+    takes the split parameters; every other generator takes none)."""
+    if effective_ray_generator(cfg) == "near_middle_far":
+        return (("middle", cfg.render.ray_middle),
+                ("middle_split", cfg.render.ray_middle_split))
+    return ()
 
 
 def jit_canonical(cfg: PointNeRFConfig) -> PointNeRFConfig:

@@ -73,6 +73,16 @@ def _mlp_init(key, dims, gain, final_gain=None):
     return layers
 
 
+def kernel_consumed_channels(cfg: AggregatorConfig) -> int:
+    """Leading feature channels consumed by the distance kernel itself and
+    stripped from the decode payload (point_aggregators.py:279: sh_degree²
+    SH coefficients / weight_feat_dim weight features / 7 gaussian params)."""
+    return {"sh_intrp": cfg.sh_degree ** 2,
+            "feat_intrp": cfg.weight_feat_dim,
+            "meta_intrp": cfg.weight_feat_dim,
+            "gau_intrp": 7}.get(cfg.agg_distance_kernel, 0)
+
+
 def block_dims(cfg: AggregatorConfig) -> Dict[str, int]:
     """Static channel bookkeeping (viewmlp_init, point_aggregators.py:276-345)."""
     dist_dim = cfg.dist_dim
@@ -80,11 +90,7 @@ def block_dims(cfg: AggregatorConfig) -> Dict[str, int]:
     pnt_ch = pe_dim(3, cfg.num_pos_freqs) if cfg.num_pos_freqs > 0 else 3
     viewdir_ch = 2 * cfg.num_viewdir_freqs * 3 if cfg.num_viewdir_freqs > 0 else 3
 
-    in_ch = cfg.point_features_dim
-    if cfg.agg_distance_kernel == "sh_intrp":
-        in_ch -= cfg.sh_degree ** 2
-    if cfg.agg_distance_kernel == "feat_intrp":
-        in_ch -= cfg.weight_feat_dim
+    in_ch = cfg.point_features_dim - kernel_consumed_channels(cfg)
     # frequency expansion applies to the (stripped) features only — the
     # reference's init also counts pnt_ch inside the expansion
     # (point_aggregators.py:279-280) but its viewmlp never encodes pts, so
@@ -141,6 +147,16 @@ def init_aggregator_params(key, cfg: AggregatorConfig) -> Dict:
     c_hidden = [d["color_in"]] + [half] * (cfg.shading_color_mlp_layer - 1)
     params["color"] = _mlp_init(kc, c_hidden + [cfg.shading_color_channel_num],
                                 g, final_gain=1.0)
+    if cfg.agg_distance_kernel in ("feat_intrp", "meta_intrp"):
+        # learned-weight MLP (point_aggregators.py:227-238): the reference
+        # declares this architecture (2x [Linear+act] at half width, then
+        # Linear->1 + Sigmoid over [PE(dists), leading weight_feat_dim
+        # feature channels]) but never committed the kernel body — this is
+        # the faithful completion of the declared design.
+        kw = jax.random.fold_in(key, 7)
+        w_in = 2 * cfg.weight_xyz_freq * 3 + cfg.weight_feat_dim
+        params["feat_weight"] = _mlp_init(
+            kw, [w_in, w_in // 2, w_in // 2, 1], g, final_gain=g)
     return params
 
 
@@ -148,8 +164,21 @@ def init_aggregator_params(key, cfg: AggregatorConfig) -> Dict:
 # Distance kernels (point_aggregators.py:355-485)
 # --------------------------------------------------------------------------
 
+def _rpy_to_matrix(rpy):
+    """Roll-pitch-yaw -> rotation matrices (geometrics.py:45-70)."""
+    c = jnp.cos(rpy)
+    s = jnp.sin(rpy)
+    cx, cy, cz = c[..., 0], c[..., 1], c[..., 2]
+    sx, sy, sz = s[..., 0], s[..., 1], s[..., 2]
+    rot = jnp.stack(
+        [cz * cy, cz * sy * sx - sz * cx, cz * sy * cx + sz * sx,
+         sz * cy, sz * sy * sx + cz * cx, sz * sy * cx - cz * sx,
+         -sy, cy * sx, cy * cx], axis=-1)
+    return rot.reshape(rpy.shape[:-1] + (3, 3))
+
+
 def _dist_weight(cfg: AggregatorConfig, dists, pnt_mask, vsize,
-                 features=None):
+                 features=None, params=None):
     axis_w = cfg.agg_axis_weight
     uniform_axis = axis_w is None or (axis_w[0] == 1 and axis_w[1] == 1 and axis_w[2] == 1)
     name = cfg.agg_distance_kernel
@@ -202,11 +231,34 @@ def _dist_weight(cfg: AggregatorConfig, dists, pnt_mask, vsize,
         return w, True
     if name == "avg":
         return pnt_mask * 1.0, False
-    if name in ("feat_intrp", "meta_intrp", "gau_intrp"):
-        raise NotImplementedError(
-            f"agg_distance_kernel {name!r} (learned-weight kernels, "
-            "reference point_aggregators.py:227-238,473-485) is not "
-            "implemented in this framework yet")
+    if name in ("feat_intrp", "meta_intrp"):
+        # Learned per-neighbor weights: Sigmoid(MLP([PE(dists), leading
+        # weight_feat_dim feature channels])) (point_aggregators.py:227-238
+        # declares the MLP; the kernel body was never committed upstream —
+        # getattr at :244 would fail its own assert — so this completes the
+        # declared design). meta_intrp is accepted as an alias.
+        pe = positional_encoding(dists[..., :3], cfg.weight_xyz_freq)
+        wfeat = features[..., : cfg.weight_feat_dim]
+        h = jnp.concatenate([pe, wfeat], axis=-1)
+        layers = params["feat_weight"]
+        for layer in layers[:-1]:
+            h = jax.nn.leaky_relu(_dense(layer, h), 0.01)
+        w = jax.nn.sigmoid(_dense(layers[-1], h))[..., 0]
+        return pnt_mask * w, False
+    if name == "gau_intrp":
+        # Per-point anisotropic gaussian (point_aggregators.py:473-485):
+        # features[0]=scale, [1:4]=radii (sigmoid, x20 vsize_z),
+        # [4:7]=roll/pitch/yaw clamped to ±pi/4; weight =
+        # scale * exp(-0.5 |diag(1/r) R d|²) (compute_world2local_dist,
+        # helpers/geometrics.py:15-42).
+        scale = jnp.abs(features[..., 0])
+        radii = vsize[2] * 20.0 * jax.nn.sigmoid(features[..., 1:4])
+        rpy = jnp.clip(features[..., 4:7], -math.pi / 4, math.pi / 4)
+        rot = _rpy_to_matrix(rpy)                           # [...,3,3]
+        tx = rot / (radii[..., :, None] + 1e-8)             # diag(1/r) @ R
+        gd = jnp.einsum("...ij,...j->...i", tx, dists[..., :3])
+        w = scale * jnp.exp(-0.5 * jnp.sum(jnp.square(gd), axis=-1))
+        return pnt_mask * w, False
     if name == "trilinear":
         gv = vsize[0]  # grid_vox_sz analog
         d = dists * pnt_mask[..., None] / gv
@@ -289,7 +341,7 @@ def aggregate(params: Dict, cfg: AggregatorConfig, sp: SampledPoints,
     dists = jnp.where(mask[..., None], dists, 0.0)
 
     weight, pre_normed = _dist_weight(cfg, dists, maskf, vsize,
-                                      features=sp.features)
+                                      features=sp.features, params=params)
     if cfg.agg_weight_norm > 0 and not pre_normed:
         weight = weight / jnp.clip(jnp.sum(weight, -1, keepdims=True), min=1e-8)
 
@@ -331,8 +383,9 @@ def aggregate(params: Dict, cfg: AggregatorConfig, sp: SampledPoints,
         dists_enc = dists_flat
 
     feat = sp.features
-    if cfg.agg_distance_kernel == "sh_intrp":
-        feat = feat[..., cfg.sh_degree ** 2:]
+    consumed = kernel_consumed_channels(cfg)
+    if consumed:
+        feat = feat[..., consumed:]
     feat = jnp.where(mask[..., None], feat, 0.0)
     feat_stripped = feat
     if cfg.num_feat_freqs > 0:

@@ -38,6 +38,10 @@ def compute_losses(out: RenderOutput, gt_image: jnp.ndarray,
     total = 0.0
     items: Dict[str, jnp.ndarray] = {}
     output = {"coarse_raycolor": out.coarse_raycolor}
+    if out.fine_raycolor is not None:
+        # hierarchical second pass (reference registers fine_raycolor in
+        # color_loss_items when fine_sample_num > 0, _ori.py:77-78)
+        output["fine_raycolor"] = out.fine_raycolor
 
     for name, wgt in zip(cfg.color_loss_items, cfg.color_loss_weights):
         if name.startswith("ray_masked_"):

@@ -95,31 +95,3 @@ def alpha_ray_march(ray_dist, ray_valid, ray_features, blend_func):
     blend_weight = blend_func(opacity, acc)[..., None]
     background_blend_weight = blend_func(1.0, background_transmission)
     return opacity, acc, blend_weight, background_transmission, background_blend_weight
-
-
-def sample_pdf(bins, weights, n_samples: int, det: bool, key=None):
-    """Inverse-CDF sampling for hierarchical refinement
-    (diff_ray_marching.py:36-133 semantics, vectorized).
-
-    bins: [..., M]; weights: [..., M-1]. Returns [..., n_samples]."""
-    weights = weights + 1e-5
-    pdf = weights / jnp.sum(weights, -1, keepdims=True)
-    cdf = jnp.cumsum(pdf, -1)
-    cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], -1)  # [..., M]
-    if det or key is None:
-        u = jnp.linspace(0.0, 1.0, n_samples)
-        u = jnp.broadcast_to(u, cdf.shape[:-1] + (n_samples,))
-    else:
-        u = jax.random.uniform(key, cdf.shape[:-1] + (n_samples,))
-    inds = jnp.searchsorted(cdf, u, side="right") if cdf.ndim == 1 else jax.vmap(
-        lambda c, uu: jnp.searchsorted(c, uu, side="right"))(
-            cdf.reshape(-1, cdf.shape[-1]), u.reshape(-1, n_samples)).reshape(u.shape)
-    below = jnp.clip(inds - 1, 0, cdf.shape[-1] - 1)
-    above = jnp.clip(inds, 0, cdf.shape[-1] - 1)
-    cdf_b = jnp.take_along_axis(cdf, below, -1)
-    cdf_a = jnp.take_along_axis(cdf, above, -1)
-    bins_b = jnp.take_along_axis(bins, jnp.clip(below, 0, bins.shape[-1] - 1), -1)
-    bins_a = jnp.take_along_axis(bins, jnp.clip(above, 0, bins.shape[-1] - 1), -1)
-    denom = jnp.where(cdf_a - cdf_b < 1e-5, 1.0, cdf_a - cdf_b)
-    t = (u - cdf_b) / denom
-    return bins_b + t * (bins_a - bins_b)

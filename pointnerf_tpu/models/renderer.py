@@ -58,6 +58,9 @@ class RenderOutput(NamedTuple):
     shading_avg_dir: Optional[jnp.ndarray] = None          # [R, 3]
     shading_avg_conf: Optional[jnp.ndarray] = None         # [R, 1]
     shading_avg_embedding: Optional[jnp.ndarray] = None    # [R, F]
+    # hierarchical refinement output (fine_sample_num > 0): second pass over
+    # importance-resampled shading points (refine_ray_generation semantics)
+    fine_raycolor: Optional[jnp.ndarray] = None            # [R, C]
 
 
 def compute_ray_dist(sample_loc_pers, ray_valid, vsize_z: float,
@@ -158,17 +161,47 @@ def shade(params: Dict, cfg: PointNeRFConfig, sp, sample_loc, sample_loc_w,
     return out
 
 
+def _shade_at(params, pc: PointCloud, st: PointCloudStatic, grid,
+              batch: RayBatch, cfg: PointNeRFConfig, sample_loc_w,
+              sample_mask, prob: bool, compute_dtype) -> RenderOutput:
+    """KNN + gather + shade at explicit world shading locations (shared by
+    the occupancy-selected coarse pass and the importance-resampled fine
+    pass)."""
+    from ..ops.query import knn_query
+    sample_pidx, _d2 = knn_query(sample_loc_w, sample_mask, pc.xyz, grid,
+                                 cfg.query)
+    pnt_mask = sample_pidx >= 0
+    sample_mask = sample_mask & jnp.any(pnt_mask, axis=-1)
+    sample_loc_w = jnp.where(sample_mask[..., None], sample_loc_w, 0.0)
+
+    xyz_pers = w2pers(pc.xyz, batch.camrotc2w, batch.campos)
+    sp = gather_points(pc, xyz_pers, sample_pidx)
+    sample_loc = w2pers(sample_loc_w, batch.camrotc2w, batch.campos)
+    sample_loc = jnp.where(sample_mask[..., None], sample_loc, 0.0)
+    sample_ray_dirs = jnp.broadcast_to(batch.raydir[:, None, :],
+                                       sample_loc_w.shape)
+    Rw2c = st.Rw2c
+    if Rw2c.ndim == 3:
+        Rw2c = Rw2c[jnp.maximum(sample_pidx, 0)]
+    return shade(params, cfg, sp, sample_loc, sample_loc_w, sample_ray_dirs,
+                 Rw2c, prob=prob, compute_dtype=compute_dtype)
+
+
 def render_rays(params: Dict, pc: PointCloud, st: PointCloudStatic,
                 grid: PointGrid, batch: RayBatch, cfg: PointNeRFConfig,
                 key: Optional[jnp.ndarray] = None, train: bool = False,
                 prob: bool = False,
                 compute_dtype=jnp.float32) -> RenderOutput:
     """Render a batch of rays against the neural point cloud."""
+    from ..config import generator_kwargs
+    k_coarse = k_fine = None
+    if key is not None:
+        k_coarse, k_fine = jax.random.split(key)
     q: QueryResult = query_points(
         pc.xyz, grid, batch.campos, batch.raydir,
         float(cfg.render.near_plane), float(cfg.render.far_plane), cfg.query,
-        jitter=cfg.render.train_jitter if train else 0.0, key=key,
-        gen_name=_effective_gen(cfg))
+        jitter=cfg.render.train_jitter if train else 0.0, key=k_coarse,
+        gen_name=_effective_gen(cfg), gen_kwargs=generator_kwargs(cfg))
 
     # Perspective coords of all points for this camera (neural_points.py:635).
     xyz_pers = w2pers(pc.xyz, batch.camrotc2w, batch.campos)
@@ -182,5 +215,35 @@ def render_rays(params: Dict, pc: PointCloud, st: PointCloudStatic,
     if Rw2c.ndim == 3:
         # per-point rotations (editing composites): gather per neighbor
         Rw2c = Rw2c[jnp.maximum(q.sample_pidx, 0)]      # [R,SR,K,3,3]
-    return shade(params, cfg, sp, sample_loc, q.sample_loc_w, sample_ray_dirs,
-                 Rw2c, prob=prob, compute_dtype=compute_dtype)
+    out = shade(params, cfg, sp, sample_loc, q.sample_loc_w, sample_ray_dirs,
+                Rw2c, prob=prob, compute_dtype=compute_dtype)
+
+    if cfg.render.fine_sample_num > 0:
+        # Hierarchical refinement (refine_ray_generation,
+        # diff_ray_marching.py:396-433, wired here unlike the reference whose
+        # fine_sample_num only ever registered loss names): importance-
+        # resample shading locations from the coarse blend weights, re-query
+        # KNN there, decode with the SAME aggregator, and expose
+        # fine_raycolor for the loss/visuals.
+        from ..ops.query import refine_ray_generation
+        far = jnp.asarray(cfg.render.far_plane, jnp.float32)
+        rd2 = jnp.sum(batch.raydir * batch.raydir, -1, keepdims=True)
+        t = jnp.sum((q.sample_loc_w - batch.campos[None, None, :])
+                    * batch.raydir[:, None, :], -1) / rd2          # [R,SR]
+        t = jnp.where(q.sample_mask, t, far)
+        # blend weights recomputed from the coarse opacities with the same
+        # exclusive-cumprod transmission as ray_march
+        alpha = out.coarse_point_opacity
+        acc = jnp.cumprod(1.0 - alpha + 1e-10, axis=-1)
+        acc = jnp.concatenate([jnp.ones_like(acc[:, :1]), acc[:, :-1]], -1)
+        w = jnp.where(q.sample_mask, alpha * acc, 0.0)
+        fine_pos, _seg, mid = refine_ray_generation(
+            batch.campos, batch.raydir, cfg.render.fine_sample_num,
+            jax.lax.stop_gradient(t), jax.lax.stop_gradient(w),
+            jitter=cfg.render.train_jitter if train else 0.0, key=k_fine)
+        fine_mask = jnp.broadcast_to(out.ray_mask[:, None], mid.shape)
+        fine_out = _shade_at(params, pc, st, grid, batch, cfg, fine_pos,
+                             fine_mask, prob=False,
+                             compute_dtype=compute_dtype)
+        out = out._replace(fine_raycolor=fine_out.coarse_raycolor)
+    return out

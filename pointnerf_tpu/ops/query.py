@@ -81,9 +81,142 @@ def near_far_disparity_linear_ray_generation(campos, raydir, point_count: int,
     return raypos, seglen, mid
 
 
+def near_middle_far_ray_generation(campos, raydir, point_count: int, near, far,
+                                   jitter: float = 0.0, key=None,
+                                   middle: float = 2.0,
+                                   middle_split: float = 0.6):
+    """Linear near->middle, disparity middle->far (diff_ray_marching.py
+    :142-198): dense coverage of the foreground with 1/z falloff behind."""
+    R = raydir.shape[0]
+    D = point_count
+    n0 = int(D * middle_split) + 1
+    n1 = int(D * (1.0 - middle_split)) + 2
+    t0 = jnp.linspace(0.0, 1.0, n0, dtype=jnp.float32)
+    vals0 = near * (1.0 - t0) + middle * t0
+    t1 = jnp.linspace(0.0, 1.0, n1, dtype=jnp.float32)
+    vals1 = 1.0 / (1.0 / middle * (1.0 - t1) + 1.0 / far * t1)
+    tvals = jnp.concatenate([vals0, vals1])                  # [n0+n1]
+    seg = tvals[1:] - tvals[:-1]
+    if jitter > 0.0 and key is not None:
+        u = jax.random.uniform(key, (R, seg.shape[0]), dtype=jnp.float32)
+        seg = seg[None, :] * (1.0 + jitter * (u - 0.5))
+    else:
+        seg = jnp.broadcast_to(seg[None, :], (R, seg.shape[0]))
+    seg = seg[:, :D]                                         # [R, D]
+    end = near + jnp.cumsum(seg, axis=-1)
+    end = jnp.concatenate([jnp.full((R, 1), near, jnp.float32), end], axis=-1)
+    mid = 0.5 * (end[:, :-1] + end[:, 1:])
+    raypos = campos[None, None, :] + raydir[:, None, :] * mid[..., None]
+    return raypos, seg, mid
+
+
+def _nerf_stratified(tvals, R: int, jitter: float, key):
+    """NeRF's stratified bin jitter (diff_ray_marching.py:276-281)."""
+    if jitter > 0.0 and key is not None:
+        mids = 0.5 * (tvals[1:] + tvals[:-1])
+        upper = jnp.concatenate([mids, tvals[-1:]])
+        lower = jnp.concatenate([tvals[:1], mids])
+        u = jax.random.uniform(key, (R, tvals.shape[0]), dtype=jnp.float32)
+        return lower[None] + (upper - lower)[None] * u
+    return jnp.broadcast_to(tvals[None, :], (R, tvals.shape[0]))
+
+
+def nerf_near_far_linear_ray_generation(campos, raydir, point_count: int,
+                                        near, far, jitter: float = 0.0,
+                                        key=None):
+    """NeRF-style sampling AT the (stratified) bin values, last segment open
+    (1e10) — diff_ray_marching.py:303-345. Samples sit at tvals, not segment
+    midpoints."""
+    R = raydir.shape[0]
+    t = jnp.linspace(0.0, 1.0, point_count, dtype=jnp.float32)
+    tvals = _nerf_stratified(near * (1.0 - t) + far * t, R, jitter, key)
+    seg = jnp.concatenate(
+        [tvals[:, 1:] - tvals[:, :-1],
+         jnp.full((R, 1), 1e10, jnp.float32)], axis=-1)
+    seg = seg * jnp.linalg.norm(raydir, axis=-1, keepdims=True)
+    raypos = campos[None, None, :] + raydir[:, None, :] * tvals[..., None]
+    return raypos, seg, tvals
+
+
+def nerf_near_far_disparity_linear_ray_generation(campos, raydir,
+                                                  point_count: int, near, far,
+                                                  jitter: float = 0.0,
+                                                  key=None):
+    """NeRF sampling uniform in disparity (diff_ray_marching.py:252-300)."""
+    R = raydir.shape[0]
+    t = jnp.linspace(0.0, 1.0, point_count, dtype=jnp.float32)
+    base = 1.0 / (1.0 / near * (1.0 - t) + 1.0 / far * t)
+    tvals = _nerf_stratified(base, R, jitter, key)
+    seg = jnp.concatenate(
+        [tvals[:, 1:] - tvals[:, :-1],
+         jnp.full((R, 1), 1e10, jnp.float32)], axis=-1)
+    seg = seg * jnp.linalg.norm(raydir, axis=-1, keepdims=True)
+    raypos = campos[None, None, :] + raydir[:, None, :] * tvals[..., None]
+    return raypos, seg, tvals
+
+
+def sample_pdf(ts, weights, n_samples: int, det: bool = True, key=None):
+    """Inverse-CDF importance sampling of new bin edges, then merge+sort with
+    the old ones (diff_ray_marching.py:36-83, NeRF hierarchical sampling).
+
+    ts: [R, S] previous sample parameters; weights: [R, S] blend weights.
+    Returns [R, n_samples + S] sorted ts. The reference round-trips through
+    numpy + a per-ray python searchsorted loop; here the CDF inversion is a
+    dense [R, n, S-1] comparison-count — static shapes, jit/TPU friendly.
+    """
+    R, S = ts.shape
+    bins = 0.5 * (ts[:, 1:] + ts[:, :-1])                    # [R, S-1]
+    w = weights[:, 1:-1] + 1e-5                              # [R, S-2]
+    pdf = w / jnp.sum(w, axis=-1, keepdims=True)
+    cdf = jnp.cumsum(pdf, axis=-1)
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[:, :1]), cdf], axis=-1)  # [R, S-1]
+
+    if det or key is None:
+        u = jnp.broadcast_to(
+            jnp.linspace(0.0, 1.0, n_samples, dtype=jnp.float32),
+            (R, n_samples))
+    else:
+        u = jax.random.uniform(key, (R, n_samples), dtype=jnp.float32)
+
+    # searchsorted(side='right') as a dense comparison count (vmapped
+    # searchsorted lowers to a serial while loop on TPU)
+    inds = jnp.sum(cdf[:, None, :] <= u[:, :, None], axis=-1,
+                   dtype=jnp.int32)                          # [R, n]
+    below = jnp.maximum(0, inds - 1)
+    above = jnp.minimum(cdf.shape[-1] - 1, inds)
+    cdf_b = jnp.take_along_axis(cdf, below, axis=1)
+    cdf_a = jnp.take_along_axis(cdf, above, axis=1)
+    bin_b = jnp.take_along_axis(bins, below, axis=1)
+    bin_a = jnp.take_along_axis(bins, above, axis=1)
+    denom = jnp.where(cdf_a - cdf_b < 1e-5, 1.0, cdf_a - cdf_b)
+    frac = (u - cdf_b) / denom
+    samples = bin_b + frac * (bin_a - bin_b)                 # [R, n]
+    merged = jnp.concatenate([samples, jax.lax.stop_gradient(ts)], axis=-1)
+    return jnp.sort(merged, axis=-1)
+
+
+def refine_ray_generation(campos, raydir, point_count: int, prev_ts,
+                          prev_weights, jitter: float = 0.0, key=None):
+    """Importance-refined ray samples from a previous pass's blend weights
+    (diff_ray_marching.py:396-433): sample_pdf new bin EDGES, midpoint
+    positions. Returns (raypos [R, D', 3], seglen [R, D'], mid [R, D'])
+    where D' = point_count + prev_ts.shape[1]."""
+    end = sample_pdf(prev_ts, prev_weights, point_count + 1,
+                     det=jitter <= 0.0, key=key)             # [R, pc+1+S]
+    end = jax.lax.stop_gradient(end)
+    seg = end[:, 1:] - end[:, :-1]
+    mid = 0.5 * (end[:, :-1] + end[:, 1:])
+    raypos = campos[None, None, :] + raydir[:, None, :] * mid[..., None]
+    seg = seg * jnp.linalg.norm(raydir, axis=-1, keepdims=True)
+    return raypos, seg, mid
+
+
 RAY_GENERATORS = {
     "near_far_linear": near_far_linear_ray_generation,
     "near_far_disparity_linear": near_far_disparity_linear_ray_generation,
+    "near_middle_far": near_middle_far_ray_generation,
+    "nerf_near_far_linear": nerf_near_far_linear_ray_generation,
+    "nerf_near_far_disparity_linear": nerf_near_far_disparity_linear_ray_generation,
 }
 
 
@@ -266,22 +399,26 @@ def knn_query(sample_loc_w: jnp.ndarray, sample_mask: jnp.ndarray,
 # Full query (ray gen -> shading selection -> KNN)
 # --------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("cfg", "jitter", "gen_name"))
+@functools.partial(jax.jit, static_argnames=("cfg", "jitter", "gen_name",
+                                              "gen_kwargs"))
 def query_points(xyz: jnp.ndarray, grid: PointGrid, campos: jnp.ndarray,
                  raydir: jnp.ndarray, near: float, far: float,
                  cfg: QueryConfig, jitter: float = 0.0,
                  key: Optional[jnp.ndarray] = None,
-                 gen_name: Optional[str] = None) -> QueryResult:
+                 gen_name: Optional[str] = None,
+                 gen_kwargs: Tuple = ()) -> QueryResult:
     """End-to-end neighbor query, mirroring lighting_fast_querier.query_points
     (query_point_indices_worldcoords.py:84-99) with static shapes.
 
     gen_name: explicit ray-generator registry key (RenderConfig.
-    which_ray_generation); defaults to cfg.inverse selection."""
+    which_ray_generation); defaults to cfg.inverse selection.
+    gen_kwargs: extra generator params as a hashable (name, value) tuple
+    (e.g. near_middle_far's middle/middle_split)."""
     meta = grid_meta(cfg)
     gen = RAY_GENERATORS[gen_name or (
         "near_far_disparity_linear" if cfg.inverse > 0 else "near_far_linear")]
     raypos, _seg, tvals = gen(campos, raydir, cfg.z_depth_dim, near, far,
-                              jitter=jitter, key=key)
+                              jitter=jitter, key=key, **dict(gen_kwargs))
     tvals = jnp.broadcast_to(tvals, raypos.shape[:2])
     sample_loc_w, sample_mask = select_shading_points(
         raypos, grid, meta, cfg.SR, tvals=tvals, campos=campos, raydir=raydir)

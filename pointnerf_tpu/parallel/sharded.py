@@ -163,13 +163,14 @@ def _render_local(mlp_params, pc_local: PointCloud, scene_local: PointGrid,
 
     # 1. Ray generation — the key is replicated over mp, so all point shards
     # see identical jittered sample positions for their dp-shard's rays.
-    from ..config import effective_ray_generator
+    from ..config import effective_ray_generator, generator_kwargs
     gen = RAY_GENERATORS[effective_ray_generator(cfg)]
     jitter = cfg.render.train_jitter if train else 0.0
     raypos, _seg, _t = gen(batch.campos, batch.raydir, q.z_depth_dim,
                            float(cfg.render.near_plane),
                            float(cfg.render.far_plane),
-                           jitter=jitter, key=key)
+                           jitter=jitter, key=key,
+                           **dict(generator_kwargs(cfg)))
 
     # 2. Shading-point selection against the UNION occupancy.
     sample_loc_w, sample_mask = select_shading_points(
@@ -248,6 +249,9 @@ def make_sharded_train_step(cfg: PointNeRFConfig, mesh: Mesh):
     [mp, cap_s, ...] sharded over mp (Adam state follows params, sharded by
     construction since optax state mirrors the param pytree)."""
     dp, mp = mesh.shape["dp"], mesh.shape["mp"]
+    assert cfg.render.fine_sample_num == 0, (
+        "hierarchical refinement (fine_sample_num > 0) is single-chip only; "
+        "the sharded step shades once per ray block")
     tx = make_optimizer(cfg)
 
     def device_grads(params, scene: ShardedScene, batch: RayBatch, key):
@@ -322,10 +326,13 @@ def make_sharded_eval_step(cfg: PointNeRFConfig, mesh: Mesh,
 
     # Spec tree must mirror the output: None in the prob-only slots when the
     # probe outputs are disabled (None is an empty subtree on both sides).
+    # fine_raycolor (the last field) is never produced on the sharded path —
+    # _render_local shades once; hierarchical refinement is single-chip only.
     n_core = 10  # always-present RenderOutput fields
-    n_prob = len(RenderOutput._fields) - n_core
+    n_prob = len(RenderOutput._fields) - n_core - 1
     out_specs = RenderOutput(*([P(("dp", "mp"))] * n_core),
-                             *([P(("dp", "mp")) if prob else None] * n_prob))
+                             *([P(("dp", "mp")) if prob else None] * n_prob),
+                             None)
     eval_sm = jax.shard_map(
         device_eval, mesh=mesh,
         in_specs=({"mlp": P(), "points": P("mp")}, SCENE_SPECS,

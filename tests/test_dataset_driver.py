@@ -4,6 +4,7 @@ import json
 import os
 
 import numpy as np
+import pytest
 
 from pointnerf_tpu.config import scene_config
 from pointnerf_tpu.data.ply import save_ply
@@ -37,6 +38,7 @@ def _fixture_scene(root, n_views=3, wh=(20, 16)):
     save_ply(str(root / "points.ply"), xyz, color)
 
 
+@pytest.mark.slow
 def test_train_dataset_scene_runs(tmp_path):
     from pointnerf_tpu.train.driver import train_dataset_scene
     root = tmp_path / "lego"
@@ -58,6 +60,7 @@ def test_train_dataset_scene_runs(tmp_path):
     assert hist["eval"] and np.isfinite(hist["eval"][-1]["psnr"])
 
 
+@pytest.mark.slow
 def test_test_dataset_scene_from_checkpoint(tmp_path):
     """run/test_ft.py equivalent: train a few steps, then test-only eval
     from the saved checkpoint."""
@@ -86,6 +89,7 @@ def test_test_dataset_scene_from_checkpoint(tmp_path):
     assert np.isfinite(m["psnr"])
 
 
+@pytest.mark.slow
 def test_dtu_mvs_init_scene(tmp_path):
     """DTU per-scene training with MVS-generated init points (no PLY on
     disk -> gen_points path)."""
@@ -132,6 +136,7 @@ def test_dtu_mvs_init_scene(tmp_path):
     assert int(st.num_active) > 0  # MVS produced a usable cloud
 
 
+@pytest.mark.slow
 def test_feedforward_dataset_dtu(tmp_path):
     """run/train.py path on a DTU fixture: MVS groups drive the
     feed-forward trainer end to end."""
@@ -172,6 +177,7 @@ def test_feedforward_dataset_dtu(tmp_path):
     assert int(state.step) == 4
 
 
+@pytest.mark.slow
 def test_video_from_checkpoint(tmp_path):
     """run/render_vid.py equivalent: spiral video from a saved checkpoint."""
     import dataclasses

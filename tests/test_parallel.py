@@ -165,6 +165,7 @@ def test_multihost_helpers_single_process():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.slow
 def test_sharded_driver_loop(tmp_path):
     """Full sharded per-scene loop: train + per-shard prune + eval on the
     virtual mesh (the multi-chip train_scene analog)."""
