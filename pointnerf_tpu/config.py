@@ -125,6 +125,10 @@ class AggregatorConfig:
     sh_dist_func: str = "sh_linear"  # sh_linear | sh_quadric (ref :452-457)
     weight_feat_dim: int = 8
     weight_xyz_freq: int = 2
+    fused_decode: bool = False   # fused Pallas PE->MLP->alpha->K-reduce
+                                 # decode (ops/pallas_decode.py); requires
+                                 # the lego-shaped decode envelope, falls
+                                 # back to the XLA path otherwise
 
     @property
     def dist_dim(self) -> int:

@@ -19,7 +19,8 @@ def register_dataset(name):
 
 def find_dataset_class_by_name(name: str):
     """reference: data/__init__.py:9-30 (import-by-name registry)."""
-    from . import dtu, llff, nerf_synth, nsvf, scannet, waymo  # noqa: F401
+    from . import (dtu, dtu_ft, llff, nerf_synth, nsvf, scannet,  # noqa: F401
+                   waymo)
     if name not in DATASET_REGISTRY:
         raise KeyError(f"dataset '{name}' not registered; "
                        f"have {sorted(DATASET_REGISTRY)}")

@@ -73,6 +73,24 @@ def _mlp_init(key, dims, gain, final_gain=None):
     return layers
 
 
+def fused_decode_supported(cfg: AggregatorConfig) -> bool:
+    """True when the config sits inside the fused Pallas decode envelope
+    (ops/pallas_decode.py) — the canonical lego configuration. Anything
+    outside falls back to the XLA decode below, bit-for-bit the same
+    semantics."""
+    return (cfg.fused_decode
+            and cfg.agg_intrp_order == 2
+            and cfg.shading_feature_mlp_layer1 >= 1
+            and cfg.shading_feature_mlp_layer2 == 0
+            and cfg.shading_feature_mlp_layer3 >= 1
+            and cfg.shading_alpha_mlp_layer == 1
+            and cfg.act_type == "LeakyReLU"
+            and cfg.act_super > 0
+            and cfg.agg_feat_xyz_mode == "None"
+            and cfg.agg_alpha_xyz_mode == "None"
+            and cfg.agg_color_xyz_mode == "None")
+
+
 def kernel_consumed_channels(cfg: AggregatorConfig) -> int:
     """Leading feature channels consumed by the distance kernel itself and
     stripped from the decode payload (point_aggregators.py:279: sh_degree²
@@ -388,6 +406,65 @@ def aggregate(params: Dict, cfg: AggregatorConfig, sp: SampledPoints,
         feat = feat[..., consumed:]
     feat = jnp.where(mask[..., None], feat, 0.0)
     feat_stripped = feat
+
+    if fused_decode_supported(cfg):
+        # Fused Pallas decode (ops/pallas_decode.py): PE -> block1 -> block3
+        # -> per-point alpha -> weighted K-reduction in VMEM. Numerically
+        # equivalent to the XLA branch below (parity: tests/test_pallas_decode
+        # .py); the per-sample color branch stays in XLA.
+        from ..ops.pallas_decode import DecodeSpec, fused_decode
+        extras = []
+        if cfg.point_color_mode:
+            extras.append(jnp.where(mask[..., None], sp.color, 0.0))
+        if cfg.point_dir_mode:
+            sdir = jnp.where(mask[..., None], sp.dirs, 0.0)
+            if Rw2c is not None:
+                sdir = rot_local(sdir)
+            ov = (ori_viewdirs if per_point_rot else
+                  jnp.broadcast_to(ori_viewdirs[..., None, :], sdir.shape))
+            extras.append(sdir - ov)
+            extras.append(jnp.sum(sdir * ov, -1, keepdims=True))
+        E = 3 * int(bool(cfg.point_color_mode)) + 4 * int(bool(cfg.point_dir_mode))
+        ex = (jnp.concatenate(extras, -1) if extras
+              else jnp.zeros(mask.shape + (0,), jnp.float32))
+        spec = DecodeSpec(
+            Fi=feat_stripped.shape[-1], Dd=dists_flat.shape[-1], E=E,
+            Ff=cfg.num_feat_freqs, Fd=abs(cfg.dist_xyz_freq),
+            H=cfg.shading_feature_num, K=K,
+            L1=cfg.shading_feature_mlp_layer1,
+            L3=cfg.shading_feature_mlp_layer3,
+            neg_slope=0.01, bf16=compute_dtype == jnp.bfloat16,
+            interpret=jax.default_backend() != "tpu")
+        M = R * SR * K
+        sub = {k: params[k] for k in ("block1", "block3", "alpha")}
+        fagg, alpha = fused_decode(
+            feat_stripped.reshape(M, -1).astype(jnp.float32),
+            dists_flat.reshape(M, -1).astype(jnp.float32),
+            ex.reshape(M, E).astype(jnp.float32),
+            w.reshape(M, 1).astype(jnp.float32), sub, spec)
+        fagg = fagg.reshape(R, SR, cfg.shading_feature_num).astype(compute_dtype)
+        alpha = alpha.reshape(R, SR, 1)
+
+        def _mlp_tail(name, x, final_act):
+            layers = params[name]
+            for layer in layers[:-1]:
+                x = _act(cfg, _dense(layer, x))
+            return final_act(_dense(layers[-1], x))
+
+        def _raw2color(raw):
+            c = jax.nn.sigmoid(raw)
+            if cfg.act_super > 0:
+                c = c * (1 + 2 * 0.001) - 0.001
+            return c
+
+        cin = jnp.concatenate([fagg, viewdirs_pe.astype(compute_dtype)], -1)
+        color = _raw2color(_mlp_tail("color", cin, lambda v: v))
+        out = jnp.concatenate([alpha.astype(jnp.float32),
+                               color.astype(jnp.float32)], axis=-1)
+        out = out * ray_valid[..., None]
+        return AggOutput(features=out, ray_valid=ray_valid, weight=weight,
+                         conf_coefficient=conf_coeff)
+
     if cfg.num_feat_freqs > 0:
         feat = jnp.concatenate([feat, positional_encoding(feat, cfg.num_feat_freqs)], -1)
 

@@ -162,3 +162,46 @@ def test_waymo_dataset(tmp_path):
     assert "frame_id" in item
     cloud = ds.load_init_points()
     assert cloud["xyz"].shape == (100, 3)
+
+
+def test_dtu_ft_dataset(tmp_path):
+    """dtu_ft per-scene dataset (reference data/dtu_ft_dataset.py): init
+    pairs file drives train ids + MVS groups; reference scaling conventions
+    (translation x 1/200, intrinsics x4) applied."""
+    rng = np.random.RandomState(0)
+    cams = tmp_path / "Cameras"
+    os.makedirs(cams / "train", exist_ok=True)
+    (cams / "pair.txt").write_text(
+        "3\n0\n2 1 10.0 2 5.0\n1\n2 0 10.0 2 5.0\n2\n2 0 10.0 1 5.0\n")
+    os.makedirs(tmp_path / "dtu_configs", exist_ok=True)
+    (tmp_path / "dtu_configs" / "dtu_finetune_init_pairs.txt").write_text(
+        "2\n0\n1,2\n1\n0,2\n")
+    for v in range(3):
+        ext = np.eye(4)
+        ext[0, 3] = 200.0 * v * 0.1    # -> 0.1*v after the 1/200 scaling
+        txt = ("extrinsic\n"
+               + "\n".join(" ".join(str(x) for x in row) for row in ext)
+               + "\n\nintrinsic\n25 0 10\n0 25 8\n0 0 1\n\n425.0 2.5\n")
+        (cams / "train" / f"{v:08d}_cam.txt").write_text(txt)
+        _write_png(str(tmp_path / "Rectified" / "scan1_train"
+                       / f"rect_{v + 1:03d}_3_r5000.png"), _rand_img(rng))
+    cfg = DataConfig(dataset_name="dtu_ft", data_root=str(tmp_path),
+                     scan="scan1")
+    ds = find_dataset_class_by_name("dtu_ft")(cfg, split="train",
+                                              n_depths=8)
+    assert len(ds) == 2                      # init-pair ref views 0, 1
+    item = ds.get_item(0, random_sample="random", random_sample_size=3)
+    assert item["raydir"].shape == (9, 3)
+    np.testing.assert_allclose(item["near"], 425.0 / 200.0)
+    # campos reflects the 1/200 translation scaling (c2w = inv(w2c))
+    np.testing.assert_allclose(ds._cams[1][0][0, 3], 0.1, rtol=1e-6)
+    group = ds.get_mvs_item(0)
+    assert group["images"].shape == (3, 16, 20, 3)
+    assert group["Ks"][0, 0, 0] == 100.0     # 25 * 4 full-res intrinsics
+    assert group["depth_values"].shape == (8,)
+    rot = ds.get_dummyrot_item(3)
+    assert rot["raydir"].shape == (16 * 20, 3)
+    # test split falls back to train ids on this tiny fixture
+    ds_t = find_dataset_class_by_name("dtu_ft")(cfg, split="test",
+                                                n_depths=8)
+    assert len(ds_t) >= 1

@@ -153,3 +153,27 @@ def test_eval_cli(tmp_path):
     assert r.returncode == 0, r.stderr
     scores = (tmp_path / "pred" / "scores.txt").read_text()
     assert "psnr:" in scores and "ssim:" in scores
+
+
+def test_scene_presets():
+    """Per-scene preset suite (VERDICT r1 #7): every dev_scripts scene has a
+    typed config that JSON round-trips and carries its script's values."""
+    from pointnerf_tpu.config import PointNeRFConfig
+    from pointnerf_tpu.presets import (SCENE_PRESETS, preset_mvs_init_kwargs,
+                                       scene_preset)
+    assert len(SCENE_PRESETS) == 15  # 8 n360 + 2 scannet + 5 tt
+    for name in SCENE_PRESETS:
+        cfg = scene_preset(name)
+        assert PointNeRFConfig.from_json(cfg.to_json()) == cfg
+        kw = preset_mvs_init_kwargs(name)
+        assert 0.0 <= kw["depth_conf_thresh"] <= 1.0
+    chair = scene_preset("nerf_synth/chair")
+    assert chair.query.max_o == 410000 and chair.query.P == 12
+    assert chair.train.prune_iter == -10001  # chair never prunes
+    truck = scene_preset("tt/truck")
+    assert truck.query.vsize == (0.002, 0.002, 0.002)
+    assert truck.data.img_wh == (1088, 640)
+    assert truck.points.default_conf == 0.1
+    mic = scene_preset("nerf_synth/mic")
+    assert mic.train.random_sample_size == 110
+    assert mic.train.prob_freq == -10001     # mic never grows
