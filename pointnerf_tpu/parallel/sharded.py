@@ -66,11 +66,25 @@ class ShardedScene(NamedTuple):
     bucket_cnt: jnp.ndarray   # [mp, max_o] int32
     bucket_xyz: jnp.ndarray   # [mp, max_o, P, 3] — bucket-major positions
     occ_union: jnp.ndarray    # [G] int8 — union dilated occupancy (replicated)
+    # Per-shard prebuilt neighbor tables (cfg.query.prebuild_neighbors): each
+    # shard's table covers ITS OWN dilated occupancy over ITS OWN points. A
+    # shading point outside a shard's dilation has no local candidates by
+    # construction (query_size >= kernel_size), so dslot == -1 -> empty is
+    # exact, and the all_to_all merge reproduces the unsharded KNN. None when
+    # disabled (pytree structure is config-static).
+    vox_dslot: Optional[jnp.ndarray] = None  # [mp, G] int32
+    nbr_xyz: Optional[jnp.ndarray] = None    # [mp, max_d, Q*P, 3] f32
+    nbr_pid: Optional[jnp.ndarray] = None    # [mp, max_d, Q*P] int32
 
 
-SCENE_SPECS = ShardedScene(
-    num_active=P("mp"), Rw2c=P(), vox_slot=P("mp"), bucket_pnt=P("mp"),
-    bucket_cnt=P("mp"), bucket_xyz=P("mp"), occ_union=P())
+def scene_specs(prebuilt: bool) -> ShardedScene:
+    """PartitionSpec tree matching ShardedScene's pytree structure (None
+    fields are empty subtrees and must be None in the spec tree too)."""
+    nb = P("mp") if prebuilt else None
+    return ShardedScene(
+        num_active=P("mp"), Rw2c=P(), vox_slot=P("mp"), bucket_pnt=P("mp"),
+        bucket_cnt=P("mp"), bucket_xyz=P("mp"), occ_union=P(),
+        vox_dslot=nb, nbr_xyz=nb, nbr_pid=nb)
 
 
 def partition_points(xyz: np.ndarray, key, cfg: PointNeRFConfig, mp: int,
@@ -116,28 +130,32 @@ def build_sharded_scene(pc: PointCloud, num_active: jnp.ndarray,
     if Rw2c is None:
         Rw2c = jnp.eye(3, dtype=jnp.float32)
 
-    import dataclasses as _dc
-    # The sharded query path uses the bucket-gather KNN (ShardedScene carries
-    # no prebuilt neighbor tables); disable prebuild so grid rebuilds don't
-    # pay for tables that would be dropped.
-    qcfg = _dc.replace(cfg.query, prebuild_neighbors=False)
+    prebuilt = cfg.query.prebuild_neighbors
 
     def builder(xyz_s, num_s):
-        grid = build_grid(xyz_s[0], num_s[0], qcfg)
+        grid = build_grid(xyz_s[0], num_s[0], cfg.query)
         # Union occupancy across point shards (int32 psum; int8 could overflow)
         occ_union = (jax.lax.psum(grid.vox_occ.astype(jnp.int32), "mp") > 0
                      ).astype(jnp.int8)
-        return (grid.vox_slot[None], grid.bucket_pnt[None],
-                grid.bucket_cnt[None], grid.bucket_xyz[None], occ_union)
+        out = (grid.vox_slot[None], grid.bucket_pnt[None],
+               grid.bucket_cnt[None], grid.bucket_xyz[None], occ_union)
+        if prebuilt:
+            out += (grid.vox_dslot[None], grid.nbr_xyz[None],
+                    grid.nbr_pid[None])
+        return out
 
-    vox_slot, bucket_pnt, bucket_cnt, bucket_xyz, occ_union = jax.jit(
-        jax.shard_map(
-            builder, mesh=mesh, in_specs=(P("mp"), P("mp")),
-            out_specs=(P("mp"), P("mp"), P("mp"), P("mp"), P())))(
-        pc.xyz, num_active)
+    out_specs = (P("mp"), P("mp"), P("mp"), P("mp"), P())
+    if prebuilt:
+        out_specs += (P("mp"), P("mp"), P("mp"))
+    outs = jax.jit(jax.shard_map(
+        builder, mesh=mesh, in_specs=(P("mp"), P("mp")),
+        out_specs=out_specs))(pc.xyz, num_active)
+    vox_slot, bucket_pnt, bucket_cnt, bucket_xyz, occ_union = outs[:5]
+    nbr = outs[5:] if prebuilt else (None, None, None)
     return ShardedScene(num_active=num_active, Rw2c=Rw2c, vox_slot=vox_slot,
                         bucket_pnt=bucket_pnt, bucket_cnt=bucket_cnt,
-                        bucket_xyz=bucket_xyz, occ_union=occ_union)
+                        bucket_xyz=bucket_xyz, occ_union=occ_union,
+                        vox_dslot=nbr[0], nbr_xyz=nbr[1], nbr_pid=nbr[2])
 
 
 def _a2a(x, mp: int):
@@ -235,11 +253,15 @@ def _squeeze0(tree):
 
 
 def _local_grid(scene: ShardedScene) -> PointGrid:
+    pre = scene.vox_dslot is not None
     return PointGrid(vox_slot=scene.vox_slot[0], vox_occ=scene.occ_union,
                      bucket_pnt=scene.bucket_pnt[0],
                      bucket_cnt=scene.bucket_cnt[0],
                      num_occ=jnp.asarray(0, jnp.int32),
-                     bucket_xyz=scene.bucket_xyz[0])
+                     bucket_xyz=scene.bucket_xyz[0],
+                     vox_dslot=scene.vox_dslot[0] if pre else None,
+                     nbr_xyz=scene.nbr_xyz[0] if pre else None,
+                     nbr_pid=scene.nbr_pid[0] if pre else None)
 
 
 def make_sharded_train_step(cfg: PointNeRFConfig, mesh: Mesh):
@@ -285,7 +307,8 @@ def make_sharded_train_step(cfg: PointNeRFConfig, mesh: Mesh):
 
     grads_sm = jax.shard_map(
         device_grads, mesh=mesh,
-        in_specs=({"mlp": P(), "points": P("mp")}, SCENE_SPECS,
+        in_specs=({"mlp": P(), "points": P("mp")},
+                  scene_specs(cfg.query.prebuild_neighbors),
                   RayBatch(campos=P(), camrotc2w=P(), raydir=P("dp"),
                            pixel_idx=P("dp"), near=P(), far=P(),
                            gt_image=P("dp")),
@@ -335,7 +358,8 @@ def make_sharded_eval_step(cfg: PointNeRFConfig, mesh: Mesh,
                              None)
     eval_sm = jax.shard_map(
         device_eval, mesh=mesh,
-        in_specs=({"mlp": P(), "points": P("mp")}, SCENE_SPECS,
+        in_specs=({"mlp": P(), "points": P("mp")},
+                  scene_specs(cfg.query.prebuild_neighbors),
                   RayBatch(campos=P(), camrotc2w=P(), raydir=P("dp"),
                            pixel_idx=P("dp"), near=P(), far=P(),
                            gt_image=P("dp"))),
@@ -522,7 +546,7 @@ def create_sharded_train_state(key, agg_params, pc: PointCloud,
     pspec = {"mlp": jax.tree.map(lambda _: P(), agg_params),
              "points": jax.tree.map(lambda _: P("mp"), pc)}
     params = put(params, pspec)
-    scene2 = put(scene, SCENE_SPECS)
+    scene2 = put(scene, scene_specs(scene.vox_dslot is not None))
     tx = make_optimizer(cfg)
     opt_state = jax.jit(tx.init)(params)
     rep = NamedSharding(mesh, P())

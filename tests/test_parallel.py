@@ -76,6 +76,52 @@ def test_sharded_eval_matches_unsharded():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_prebuilt_neighbors_parity():
+    """With cfg.query.prebuild_neighbors=True the ShardedScene carries
+    per-shard neighbor tables and the sharded render must still match the
+    single-device path exactly (each shard's table covers its own dilated
+    occupancy; missing voxels correctly yield no local candidates and the
+    all_to_all merge reproduces the global KNN)."""
+    cfg = sharded_cfg()
+    cfg = cfg.replace(query=dataclasses.replace(
+        cfg.query, prebuild_neighbors=True))
+    xyz, campos, camrot = synthetic_scene(n_pts=400)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+
+    pc1, st1 = make_point_cloud(xyz, k1, cfg.points,
+                                cfg.agg.point_features_dim, capacity=512)
+    params = init_aggregator_params(k2, cfg.agg)
+    grid1 = refresh_grid(pc1, st1, cfg)
+    batch = make_batch(campos, camrot, R=64)
+    ref = eval_step({"mlp": params, "points": pc1}, st1, grid1, batch, cfg)
+
+    mesh = make_mesh(dp=4, mp=2)
+    pc_s, num_active = partition_points(
+        xyz, k1, cfg, mp=2, features=np.asarray(pc1.features[:400]),
+        color=np.asarray(pc1.color[:400]), dirs=np.asarray(pc1.dirs[:400]),
+        conf=np.asarray(pc1.conf[:400]))
+    scene = build_sharded_scene(pc_s, num_active, cfg, mesh)
+    assert scene.vox_dslot is not None and scene.nbr_xyz is not None
+    state, scene = create_sharded_train_state(
+        jax.random.PRNGKey(9), params, pc_s, scene, cfg, mesh)
+    out = make_sharded_eval_step(cfg, mesh)(state.params, scene, batch)
+    np.testing.assert_array_equal(np.asarray(out.ray_mask),
+                                  np.asarray(ref.ray_mask))
+    np.testing.assert_allclose(np.asarray(out.coarse_raycolor),
+                               np.asarray(ref.coarse_raycolor),
+                               rtol=2e-4, atol=2e-4)
+
+    # and the training step runs + learns through the prebuilt path
+    step = make_sharded_train_step(cfg, mesh)
+    losses = []
+    for _ in range(10):
+        state, items = step(state, scene, batch)
+        losses.append(float(items["loss_total"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_sharded_training_reduces_loss():
     cfg = sharded_cfg()
     xyz, campos, camrot = synthetic_scene(n_pts=400)
