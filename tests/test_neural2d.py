@@ -106,3 +106,54 @@ def test_stylegan_head_trains():
     z = np.asarray(state.params["style"])
     assert np.abs(z[1] - z0_np[1]).max() > 0
     np.testing.assert_array_equal(z[0], z0_np[0])
+
+def test_gan_step_trains_d_and_g():
+    """VERDICT r1 #8: adversarial machinery for the StyleGAN2 head — D hinge
+    update with DiffAugment + periodic gradient penalty, G update against the
+    fresh D, EMA of the head. Smoke: losses finite, D loss moves, EMA drifts
+    from init, recon still improves."""
+    from pointnerf_tpu.models.neural_render import Discriminator
+    from pointnerf_tpu.train.neural2d import (create_gan_state,
+                                              make_gan_step)
+    cfg = feat_cfg()
+    pc, st, params, grid, campos, camrot = setup_scene(cfg)
+    gen = Generator(image_size=128, latent_dim=8, network_capacity=4,
+                    init_channels=C_FEAT)
+    vec = StyleVectorizer(emb=8, depth=2)
+    disc = Discriminator(image_size=PATCH, network_capacity=2)
+    styles0 = jnp.zeros((1, 1, 8))
+    gp = gen.init(jax.random.PRNGKey(1), styles0,
+                  jnp.zeros((1, PATCH, PATCH, C_FEAT)))["params"]
+    vp = vec.init(jax.random.PRNGKey(2), jnp.zeros((1, 8)))["params"]
+    dp = disc.init(jax.random.PRNGKey(3),
+                   jnp.zeros((1, PATCH, PATCH, 3)))["params"]
+    z_codes = jnp.asarray(np.random.RandomState(4).randn(2, 8), jnp.float32)
+    init_leaf = np.array(jax.tree.leaves(gp)[0])  # snapshot before donation
+    state = create_gan_state(jax.random.PRNGKey(5), params, pc, gp, dp, cfg,
+                             style_codes=z_codes, stylevec_params=vp)
+    step = make_gan_step(cfg, None, PATCH, disc, generator=gen,
+                         vectorizer=vec, aug_prob=0.5, gp_every=2)
+    batch, _ = patch_batch(campos, camrot)
+    gt = jnp.asarray(np.tile(np.array([0.6, 0.3, 0.1], np.float32),
+                             (PATCH, PATCH, 1)))
+    d_losses, recons, gps = [], [], []
+    for i in range(12):
+        state, items = step(state, st, grid, batch, gt, jnp.asarray(1))
+        d_losses.append(float(items["loss_d"]))
+        recons.append(float(items["loss_recon"]))
+        gps.append(float(items["loss_gp"]))
+    assert np.isfinite(d_losses).all() and np.isfinite(recons).all()
+    # D loss moves under training and stays below the untrained hinge value
+    # of 2.0 (recon simultaneously makes fakes harder, so monotone descent
+    # is not expected at this scale)
+    assert max(d_losses) - min(d_losses) > 0.01, d_losses
+    assert d_losses[-1] < 2.0, d_losses
+    # gradient penalty fires on the gp_every cadence only
+    assert gps[0] > 0.0 and gps[1] == 0.0
+    # reconstruction still improves under the combined objective
+    assert recons[-1] < recons[0]
+    # EMA drifted from init but is not equal to the live params
+    ema_leaf = jax.tree.leaves(state.ema["head"])[0]
+    live_leaf = jax.tree.leaves(state.params["head"])[0]
+    assert not np.allclose(np.asarray(ema_leaf), np.asarray(live_leaf))
+    assert not np.array_equal(np.asarray(ema_leaf), init_leaf)
