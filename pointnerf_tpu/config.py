@@ -129,6 +129,8 @@ class AggregatorConfig:
                                  # decode (ops/pallas_decode.py); requires
                                  # the lego-shaped decode envelope, falls
                                  # back to the XLA path otherwise
+    fused_tile: int = 2048       # rows per fwd grid step (pallas_decode)
+    fused_tile_bwd: int = 1024   # rows per bwd grid step
 
     @property
     def dist_dim(self) -> int:

@@ -434,7 +434,8 @@ def aggregate(params: Dict, cfg: AggregatorConfig, sp: SampledPoints,
             L1=cfg.shading_feature_mlp_layer1,
             L3=cfg.shading_feature_mlp_layer3,
             neg_slope=0.01, bf16=compute_dtype == jnp.bfloat16,
-            interpret=jax.default_backend() != "tpu")
+            interpret=jax.default_backend() != "tpu",
+            tile_rows=cfg.fused_tile, tile_rows_bwd=cfg.fused_tile_bwd)
         M = R * SR * K
         sub = {k: params[k] for k in ("block1", "block3", "alpha")}
         fagg, alpha = fused_decode(

@@ -53,6 +53,11 @@ class DecodeSpec(NamedTuple):
     neg_slope: float
     bf16: bool       # run matmuls in bf16 (f32 accumulate)
     interpret: bool  # pallas interpret mode (CPU tests)
+    # Rows per grid step. The sequential grid's per-step overhead dominated
+    # the first measurement (1024/512 -> 2250 fwd + 4500 bwd steps); larger
+    # tiles amortize it while the working set stays inside VMEM.
+    tile_rows: int = 2048
+    tile_rows_bwd: int = 1024
 
     @property
     def x1(self) -> int:
@@ -74,14 +79,11 @@ class DecodeSpec(NamedTuple):
 
     @property
     def tile(self) -> int:
-        return _rup(1024, self.K * 8)
+        return _rup(self.tile_rows, self.K * 8)
 
     @property
     def tile_bwd(self) -> int:
-        # backward holds ~2x the live tensors (recomputed activations + all
-        # g_* chains + dW accumulators); 1024 rows overflow the 16MB VMEM
-        # budget by ~0.8MB at the lego widths
-        return _rup(512, self.K * 8)
+        return _rup(self.tile_rows_bwd, self.K * 8)
 
 
 def pe_permutation(spec: DecodeSpec) -> np.ndarray:

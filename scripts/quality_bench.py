@@ -1,0 +1,144 @@
+"""Quality benchmark: time-to-PSNR on the procedural multi-object scenes.
+
+Trains the per-scene pipeline at the reference lego budget (3,600 rays/iter,
+D=400 -> SR=80 -> K=8, prune+grow cadence scaled from dev_scripts/w_n360/
+lego.sh:55-160) on a procedural scene with analytic 800x800 GT
+(pointnerf_tpu/data/procedural.py) and records the wall-clock-to-PSNR curve
+on held-out views (BASELINE.json north star: time-to-PSNR-30 on lego;
+VERDICT r1 next #4).
+
+Writes QUALITY_<scene>.json with the eval history and prints a summary line.
+
+Usage:
+  python scripts/quality_bench.py cluster --steps 30000 --target 30
+  python scripts/quality_bench.py thicket --steps 30000
+Options: --views N (default 100) --wh W (default 800) --pts N (default
+200000) --test-views N (default 6) --run-dir DIR
+"""
+import argparse
+import dataclasses
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+from pointnerf_tpu.config import (ParallelConfig, QueryConfig,  # noqa: E402
+                                  RenderConfig, TrainConfig, bench_config,
+                                  ranges_from_cloud)
+from pointnerf_tpu.data.procedural import (SCENES, sample_cloud,  # noqa: E402
+                                           sphere_cameras, view_item)
+from pointnerf_tpu.train.driver import train_scene  # noqa: E402
+
+
+def build_config(xyz, steps: int, rays_side: int = 60):
+    """Lego-budget config sized to the procedural scene AABB. Cadences scale
+    with the step budget relative to the reference's 200k-step schedule
+    (prune every 10001 until 130k, probe every 10001; lego.sh:55-160)."""
+    cfg = bench_config()
+    r = ranges_from_cloud(xyz)
+    span = max(r[3] - r[0], r[4] - r[1], r[5] - r[2])
+    v = span / 320.0                       # vox_res=320 like lego.sh:17
+    scale = steps / 200_000.0
+    prune_iter = max(500, int(10001 * scale))
+    prob_freq = max(501, int(10001 * scale) + 1)
+    cam_r = 2.4
+    cfg = cfg.replace(
+        query=dataclasses.replace(
+            cfg.query, vsize=(v, v, v), ranges=r, max_o=262144),
+        render=dataclasses.replace(
+            cfg.render, near_plane=cam_r - 0.75 * span,
+            far_plane=cam_r + 0.75 * span),
+        train=dataclasses.replace(
+            cfg.train, maximum_step=steps, random_sample_size=rays_side,
+            prune_iter=prune_iter, prune_max_iter=int(steps * 0.65),
+            prob_freq=prob_freq, test_freq=max(250, steps // 40),
+            print_freq=200, save_iter_freq=max(1000, steps // 10)),
+        parallel=ParallelConfig(remat=False))
+    return cfg
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("scene", choices=sorted(SCENES), nargs="?",
+                    default="cluster")
+    ap.add_argument("--steps", type=int, default=30000)
+    ap.add_argument("--target", type=float, default=None)
+    ap.add_argument("--views", type=int, default=100)
+    ap.add_argument("--wh", type=int, default=800)
+    ap.add_argument("--pts", type=int, default=200_000)
+    ap.add_argument("--test-views", type=int, default=6)
+    ap.add_argument("--run-dir", default=None)
+    ap.add_argument("--tiny", action="store_true",
+                    help="CPU-runnable smoke: shrink the query budget")
+    ap.add_argument("--platform", default=None)
+    args = ap.parse_args()
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    prims = SCENES[args.scene]()
+    xyz, color, normals = sample_cloud(prims, args.pts, seed=0)
+    wh = (args.wh, args.wh)
+    cfg = build_config(xyz, args.steps)
+    if args.tiny:
+        cfg = cfg.replace(
+            query=dataclasses.replace(
+                cfg.query, vsize=tuple(v * 8 for v in cfg.query.vsize),
+                max_o=8192, P=8, K=4, SR=16, z_depth_dim=64,
+                knn_chunk=8192, max_d=8192),
+            train=dataclasses.replace(cfg.train, random_sample_size=12,
+                                      compute_dtype="f32",
+                                      test_freq=max(1, args.steps // 3),
+                                      prune_iter=max(1, args.steps // 2),
+                                      prob_freq=max(2, args.steps // 2 + 1)))
+    run_dir = args.run_dir or f"runs/quality_{args.scene}"
+
+    train_views = sphere_cameras(args.views, radius=2.4,
+                                 focal=875.0 * args.wh / 800.0, wh=wh,
+                                 seed=0)
+    test_views = sphere_cameras(args.test_views, radius=2.4,
+                                focal=875.0 * args.wh / 800.0, wh=wh,
+                                seed=99)
+    rng = np.random.RandomState(cfg.train.seed)
+    n_rays = cfg.train.random_sample_size ** 2
+
+    def train_item(step):
+        i = rng.randint(0, len(train_views))
+        campos, rot, K = train_views[i]
+        return view_item(prims, campos, rot, K, wh, n_rays=n_rays,
+                         seed=step, view_id=i)
+
+    print(f"[quality] scene={args.scene} pts={xyz.shape[0]} "
+          f"views={args.views}@{args.wh} steps={args.steps} "
+          f"vsize={cfg.query.vsize[0]:.4f}")
+    test_items = [view_item(prims, *v, wh, view_id=1000 + i)
+                  for i, v in enumerate(test_views)]
+    probe_items = [view_item(prims, *train_views[i], wh, view_id=i)
+                   for i in range(0, len(train_views),
+                                  max(1, len(train_views) // 8))]
+
+    state, st, hist = train_scene(
+        cfg, (xyz, color, normals), train_item, test_items, probe_items, wh,
+        run_dir=run_dir, max_steps=args.steps, target_psnr=args.target)
+
+    out = {"scene": args.scene, "steps": args.steps, "n_points": int(xyz.shape[0]),
+           "views": args.views, "wh": args.wh,
+           "eval": hist["eval"],
+           "rays_per_step": n_rays}
+    path = f"QUALITY_{args.scene}.json"
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    best = max((e["psnr"] for e in hist["eval"]), default=float("nan"))
+    print(json.dumps({"scene": args.scene, "best_psnr": round(best, 2),
+                      "evals": len(hist["eval"]), "out": path}))
+
+
+if __name__ == "__main__":
+    main()
