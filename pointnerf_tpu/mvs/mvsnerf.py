@@ -80,6 +80,224 @@ class MVSNeRFDecoder(nn.Module):
         return jnp.concatenate([nn.relu(sigma), nn.sigmoid(rgb)], axis=-1)
 
 
+# --------------------------------------------------------------------------
+# Reference decoder variants (models/mvs/models.py:148-570): the `net_type`
+# v0/v1/v2 + color_fusion family. Input convention follows the reference:
+# one packed tensor x = [pts_ch | feat_ch | views_ch]. Output order is the
+# reference's (rgb, alpha[, colors]); use `reorder_rgba` for our ray_march
+# (which expects alpha first).
+# --------------------------------------------------------------------------
+
+class MultiHeadAttention(nn.Module):
+    """Post-LN multi-head attention (models.py:96-145): bias-free q/k/v/fc
+    projections, residual add, LayerNorm(eps=1e-6); mask zeros attention
+    logits per query row (ScaledDotProductAttention :73-93)."""
+    n_head: int
+    d_model: int
+    d_k: int
+    d_v: int
+
+    @nn.compact
+    def __call__(self, q, k, v, mask=None):
+        b, lq, _ = q.shape
+        lk = k.shape[1]
+        residual = q
+        qh = nn.Dense(self.n_head * self.d_k, use_bias=False, name="w_qs")(q)
+        kh = nn.Dense(self.n_head * self.d_k, use_bias=False, name="w_ks")(k)
+        vh = nn.Dense(self.n_head * self.d_v, use_bias=False, name="w_vs")(v)
+        qh = qh.reshape(b, lq, self.n_head, self.d_k).transpose(0, 2, 1, 3)
+        kh = kh.reshape(b, lk, self.n_head, self.d_k).transpose(0, 2, 1, 3)
+        vh = vh.reshape(b, lk, self.n_head, self.d_v).transpose(0, 2, 1, 3)
+        attn = jnp.einsum("bhqd,bhkd->bhqk", qh / (self.d_k ** 0.5), kh)
+        if mask is not None:
+            attn = jnp.where(mask[:, None] == 0, -1e9, attn)
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, vh)
+        out = out.transpose(0, 2, 1, 3).reshape(b, lq, -1)
+        out = nn.Dense(self.d_model, use_bias=False, name="fc")(out)
+        out = nn.LayerNorm(epsilon=1e-6)(out + residual)
+        return out, attn
+
+
+class RendererOurs(nn.Module):
+    """net_type v0 (Renderer_ours, models.py:148-227): skip-MLP over PE(pts)
+    MULTIPLIED by a per-sample bias from the volume features, view-dependent
+    color head."""
+    D: int = 8
+    W: int = 256
+    in_ch_pts: int = 63
+    in_ch_views: int = 27
+    skips: Tuple[int, ...] = (4,)
+
+    @nn.compact
+    def __call__(self, x):
+        pts = x[..., :self.in_ch_pts]
+        views = x[..., -self.in_ch_views:]
+        feats = x[..., self.in_ch_pts:-self.in_ch_views]
+        bias = nn.Dense(self.W, name="pts_bias")(feats)
+        h = pts
+        for i in range(self.D):
+            h = nn.relu(nn.Dense(self.W, name=f"pts_linears_{i}")(h) * bias)
+            if i in self.skips:
+                h = jnp.concatenate([pts, h], axis=-1)
+        alpha = nn.relu(nn.Dense(1, name="alpha_linear")(h))
+        feature = nn.Dense(self.W, name="feature_linear")(h)
+        h = jnp.concatenate([feature, views], axis=-1)
+        h = nn.relu(nn.Dense(self.W // 2, name="views_linears_0")(h))
+        rgb = nn.sigmoid(nn.Dense(3, name="rgb_linear")(h))
+        return jnp.concatenate([rgb, alpha], axis=-1)
+
+
+class RendererLinear(nn.Module):
+    """net_type v2 (Renderer_linear, models.py:467-542): like v0 but the
+    feature bias is ADDED (h = lin(h) + bias) — the default net_type."""
+    D: int = 8
+    W: int = 256
+    in_ch_pts: int = 63
+    in_ch_views: int = 27
+    skips: Tuple[int, ...] = (4,)
+
+    @nn.compact
+    def __call__(self, x):
+        pts = x[..., :self.in_ch_pts]
+        views = x[..., -self.in_ch_views:]
+        feats = x[..., self.in_ch_pts:-self.in_ch_views]
+        bias = nn.Dense(self.W, name="pts_bias")(feats)
+        h = pts
+        for i in range(self.D):
+            h = nn.relu(nn.Dense(self.W, name=f"pts_linears_{i}")(h) + bias)
+            if i in self.skips:
+                h = jnp.concatenate([pts, h], axis=-1)
+        alpha = nn.relu(nn.Dense(1, name="alpha_linear")(h))
+        feature = nn.Dense(self.W, name="feature_linear")(h)
+        h = jnp.concatenate([feature, views], axis=-1)
+        h = nn.relu(nn.Dense(self.W // 2, name="views_linears_0")(h))
+        rgb = nn.sigmoid(nn.Dense(3, name="rgb_linear")(h))
+        return jnp.concatenate([rgb, alpha], axis=-1)
+
+
+class RendererAttention(nn.Module):
+    """net_type v1 (Renderer_attention, models.py:387-466): per-view
+    (rgb, mask) tokens fused by multi-head attention into per-sample colors;
+    those colors join the 8 volume features to form the ADDITIVE MLP bias.
+    Expects feats = [vol8 | V x (rgb,mask)=4] with V=3 source views."""
+    D: int = 8
+    W: int = 256
+    in_ch_pts: int = 63
+    in_ch_views: int = 27
+
+    @nn.compact
+    def __call__(self, x):
+        NR, NS, _ = x.shape
+        pts = x[..., :self.in_ch_pts]
+        views = x[..., -self.in_ch_views:]
+        feats = x[..., self.in_ch_pts:-self.in_ch_views]
+        if feats.shape[-1] > 8 + 3:
+            colors_in = feats[..., 8:].reshape(NR * NS, -1, 4)   # [N,3,4]
+            tok = jnp.concatenate(
+                [colors_in,
+                 jnp.broadcast_to(feats[..., :8].reshape(NR * NS, 1, 8),
+                                  (NR * NS, colors_in.shape[1], 8))], -1)
+            tok, _ = MultiHeadAttention(4, 12, 4, 4,
+                                        name="color_attention")(tok, tok, tok)
+            colors = jnp.sum(
+                nn.sigmoid(nn.Dense(3, name="weight_out")(tok)),
+                axis=-2).reshape(NR, NS, 3)
+        else:
+            colors = feats[..., -3:]
+        bias = nn.Dense(self.W, name="pts_bias")(
+            jnp.concatenate([feats[..., :8], colors], axis=-1))
+        h = pts
+        for i in range(self.D):                 # no skips in this variant
+            h = nn.relu(nn.Dense(self.W, name=f"pts_linears_{i}")(h) + bias)
+        alpha = nn.relu(nn.Dense(1, name="alpha_linear")(h))
+        feature = nn.Dense(self.W, name="feature_linear")(h)
+        h = jnp.concatenate([feature, views], axis=-1)
+        h = nn.relu(nn.Dense(self.W // 2, name="views_linears_0")(h))
+        rgb = nn.sigmoid(nn.Dense(3, name="rgb_linear")(h))
+        # reference: cat([rgb, alpha, colors]) then cat(colors) again (:462-464)
+        return jnp.concatenate([rgb, alpha, colors, colors], axis=-1)
+
+
+class RendererColorFusion(nn.Module):
+    """Renderer_color_fusion (models.py:227-306): multiplicative-bias skip
+    MLP; color = attention over per-view (feature16, viewdir-token, rgb)
+    masked by the per-view validity channel, summed across views."""
+    D: int = 8
+    W: int = 128
+    in_ch_pts: int = 63
+    in_ch_views: int = 27
+    skips: Tuple[int, ...] = (4,)
+
+    @nn.compact
+    def __call__(self, x):
+        NR, NS, _ = x.shape
+        pts = x[..., :self.in_ch_pts]
+        views = x[..., -self.in_ch_views:]
+        feats = x[..., self.in_ch_pts:-self.in_ch_views]
+        bias = nn.Dense(self.W, name="pts_bias")(feats)
+        h = pts
+        for i in range(self.D):
+            h = nn.relu(nn.Dense(self.W, name=f"pts_linears_{i}")(h) * bias)
+            if i in self.skips:
+                h = jnp.concatenate([pts, h], axis=-1)
+        alpha = nn.relu(nn.Dense(1, name="alpha_linear")(h))
+
+        vdim = self.in_ch_views // 3
+        views_t = views.reshape(NR * NS, 3, vdim)
+        rgba = feats[..., 8:].reshape(NR * NS, 3, 4)
+        rgb_in = rgba[..., :3]
+        feature = nn.relu(nn.Dense(16, name="feature_linear")(h))
+        tok = jnp.broadcast_to(feature.reshape(NR * NS, 1, 16),
+                               (NR * NS, 3, 16))
+        tok = jnp.concatenate([tok, views_t, rgb_in], axis=-1)
+        att_dim = 16 + 3 + vdim
+        tok, _ = MultiHeadAttention(4, att_dim, 4, 4, name="ray_attention")(
+            tok, tok, tok, mask=rgba[..., -1:])
+        rgb = nn.sigmoid(nn.Dense(3, name="rgb_out")(tok))
+        rgb = jnp.sum(rgb, axis=1).reshape(NR, NS, 3)
+        return jnp.concatenate([rgb, alpha], axis=-1)
+
+
+MVSNERF_DECODERS = {"v0": RendererOurs, "v1": RendererAttention,
+                    "v2": RendererLinear, "color_fusion": RendererColorFusion}
+
+
+def reorder_rgba(raw: jnp.ndarray) -> jnp.ndarray:
+    """Reference (rgb, alpha, ...) -> our ray_march layout (alpha, rgb)."""
+    return jnp.concatenate([raw[..., 3:4], raw[..., :3]], axis=-1)
+
+
+class ReferenceMVSNeRF(nn.Module):
+    """MVSNeRF wrapper (models.py:543-570): PE embeds pts/dirs (Embedder
+    :93-146 — our PE layout differs in channel order, an equivalent
+    reparametrization documented in ops/pe.py) and dispatches on net_type.
+    Callable with the (xyz, viewdirs, feat) signature render_mvsnerf uses;
+    returns (sigma, rgb) in our ray_march order."""
+    net_type: str = "v2"
+    D: int = 8
+    W: int = 256
+    pos_freqs: int = 10
+    dir_freqs: int = 4
+
+    @nn.compact
+    def __call__(self, xyz, viewdirs, feat):
+        p = positional_encoding(xyz, self.pos_freqs, ori=True)
+        d = positional_encoding(viewdirs, self.dir_freqs, ori=True)
+        cls = MVSNERF_DECODERS[self.net_type]
+        w = 128 if self.net_type == "color_fusion" else self.W
+        inner = cls(D=self.D, W=w, in_ch_pts=p.shape[-1],
+                    in_ch_views=d.shape[-1], name="nerf")
+        squeeze = False
+        x = jnp.concatenate([p, feat, d], axis=-1)
+        if x.ndim == 2:                      # attention variants need [R,S,·]
+            x, squeeze = x[None], True
+        raw = inner(x)
+        if squeeze:
+            raw = raw[0]
+        return reorder_rgba(raw)
+
+
 def world_to_ref_ndc(xyz_w, w2c_ref, K_ref, near: float, far: float,
                      W: int, H: int):
     """World points -> reference-frustum NDC in [0,1]³ (get_ndc_coordinate,
@@ -93,13 +311,13 @@ def world_to_ref_ndc(xyz_w, w2c_ref, K_ref, near: float, far: float,
     return jnp.stack([x, y, z], axis=-1)
 
 
-def render_mvsnerf(decoder_params, decoder: MVSNeRFDecoder,
+def render_mvsnerf(decoder_params, decoder,
                    volume: jnp.ndarray, images: jnp.ndarray,
                    Ks: jnp.ndarray, w2cs: jnp.ndarray,
                    campos, raydir, near: float, far: float,
                    n_samples: int = 64,
                    bg_color: Optional[jnp.ndarray] = None,
-                   key=None):
+                   key=None, per_view_rgba: bool = False):
     """March rays through the volume (renderer.py `rendering`:139-183).
 
     volume [D,h,w,C] (neuralized cost volume at 1/4 res, ref view 0);
@@ -122,15 +340,21 @@ def render_mvsnerf(decoder_params, decoder: MVSNeRFDecoder,
     ndc = world_to_ref_ndc(xyz, w2cs[0], Ks[0], near, far, W, H)
     feat_vol = trilinear_sample_volume(volume, ndc)       # [R,S,C]
 
-    # source-image colors at the projections (build_color_volume analog)
+    # source-image colors at the projections (build_color_volume analog);
+    # per_view_rgba additionally carries an in-frustum validity channel —
+    # the mask the attention decoders consume (models.py:444,:296)
     cols = []
     for v in range(V):
         ones = jnp.ones_like(xyz[..., :1])
         cam = (jnp.concatenate([xyz, ones], -1) @ w2cs[v].T)[..., :3]
         z = jnp.maximum(cam[..., 2], 1e-6)
         pix = cam @ Ks[v].T
-        cols.append(bilinear_sample(images[v], pix[..., 0] / z,
-                                    pix[..., 1] / z))
+        px, py = pix[..., 0] / z, pix[..., 1] / z
+        cols.append(bilinear_sample(images[v], px, py))
+        if per_view_rgba:
+            inb = ((px >= 0) & (px <= W - 1) & (py >= 0) & (py <= H - 1)
+                   & (cam[..., 2] > 0)).astype(jnp.float32)
+            cols.append(inb[..., None])
     feat = jnp.concatenate([feat_vol] + cols, axis=-1)
 
     dirs = jnp.broadcast_to(raydir[:, None, :], xyz.shape)
