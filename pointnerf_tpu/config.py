@@ -63,6 +63,16 @@ class QueryConfig:
     # Size to (dilation factor) x (actual occupied voxels): ~3-5x for
     # contiguous surfaces, up to query_size volume (27x) for sparse clouds.
     max_d: int = 0
+    # Static-capacity valid-sample compaction for the decode (the TPU
+    # equivalent of the reference's dynamic boolean compaction,
+    # point_aggregators.py:522-534 `pnt_mask_flat` indexing): > 0 routes the
+    # aggregator over only the first `decode_capacity * R * SR` valid sample
+    # slots (stable order) and scatters results back; every [R*SR*K]-scale
+    # gather/PE/MLP/scatter then costs capacity x instead of 1 x. Typical
+    # object-centric batches are 5-25% valid, so 0.25-0.5 is lossless in
+    # practice; overflow (valid slots beyond capacity) renders as background
+    # and is reported in RenderOutput.decode_dropped. 0 = dense decode.
+    decode_capacity: float = 0.0
 
     @property
     def scaled_vsize(self) -> Tuple[float, float, float]:
@@ -379,7 +389,8 @@ def bench_config() -> PointNeRFConfig:
             vsize=(0.008, 0.008, 0.008), vscale=(2.0, 2.0, 2.0),
             max_o=32768, P=9, K=8, SR=80, z_depth_dim=400,
             ranges=(-0.8, -0.8, -0.8, 0.8, 0.8, 0.8), knn_chunk=294912,
-            prebuild_neighbors=True, max_d=131072, shell_layered=False),
+            prebuild_neighbors=True, max_d=131072, shell_layered=False,
+            decode_capacity=0.125),
         render=RenderConfig(near_plane=2.0, far_plane=4.5),
         train=TrainConfig(compute_dtype="bf16"),
         parallel=ParallelConfig(remat=False),

@@ -50,6 +50,9 @@ class RenderOutput(NamedTuple):
     conf_coefficient: jnp.ndarray       # [R, SR, K]
     ray_valid: jnp.ndarray              # [R, SR] bool
     sample_loc_w: jnp.ndarray           # [R, SR, 3]
+    # valid sample slots dropped by the static-capacity compacted decode
+    # (QueryConfig.decode_capacity); None on the dense path
+    decode_dropped: Optional[jnp.ndarray] = None  # [] int32
     # prob-mode probe outputs for point growing (_ori.py:351-383)
     ray_max_shading_opacity: Optional[jnp.ndarray] = None  # [R, 1]
     ray_max_sample_loc_w: Optional[jnp.ndarray] = None     # [R, 3]
@@ -79,6 +82,47 @@ def compute_ray_dist(sample_loc_pers, ray_valid, vsize_z: float,
     return ray_dist * ray_valid.astype(ray_dist.dtype)
 
 
+def _finalize(cfg: PointNeRFConfig, features, ray_valid, weight, conf_coeff,
+              sample_loc, sample_loc_w, ray_mask,
+              decode_dropped=None) -> RenderOutput:
+    """March + tonemap + output assembly over per-(ray, sample) decoded
+    features [R, SR, 1+C] (shared by the dense and compacted decode paths)."""
+    ray_dist = compute_ray_dist(sample_loc, ray_valid,
+                                cfg.query.vsize[2], cfg.render.raydist_mode_unit)
+
+    render_func = RENDER_FUNCS[cfg.render.which_render_func]
+    blend_func = BLEND_FUNCS[cfg.render.which_blend_func]
+    tonemap = TONEMAP_FUNCS[cfg.render.which_tonemap_func]
+    bg = jnp.asarray(cfg.render.bg_color, jnp.float32)
+    if cfg.agg.shading_color_channel_num != 3:
+        bg = jnp.zeros((cfg.agg.shading_color_channel_num,), jnp.float32)
+
+    (ray_color, _point_color, opacity, acc_transmission, blend_w,
+     background_transmission, _bg_bw) = ray_march(
+        ray_dist, ray_valid, features, render_func, blend_func, bg)
+    ray_color = tonemap(ray_color)
+
+    # blend-weighted expected depth (perspective z of shading samples) —
+    # feeds ray_depth_masked_* losses (base_rendering_model.py:565-571)
+    depth = jnp.sum(blend_w[..., 0] * sample_loc[..., 2], axis=-1,
+                    keepdims=True)
+
+    queried_shading = (~jnp.any(ray_valid, axis=-1, keepdims=True)).astype(jnp.float32)
+    return RenderOutput(
+        coarse_raycolor=ray_color,
+        coarse_is_background=background_transmission,
+        coarse_depth=depth,
+        coarse_point_opacity=opacity,
+        queried_shading=queried_shading,
+        ray_mask=ray_mask,
+        weight=weight,
+        conf_coefficient=conf_coeff,
+        ray_valid=ray_valid,
+        sample_loc_w=sample_loc_w,
+        decode_dropped=decode_dropped,
+    )
+
+
 def shade(params: Dict, cfg: PointNeRFConfig, sp, sample_loc, sample_loc_w,
           sample_ray_dirs, Rw2c, prob: bool = False,
           compute_dtype=jnp.float32) -> RenderOutput:
@@ -99,45 +143,13 @@ def shade(params: Dict, cfg: PointNeRFConfig, sp, sample_loc, sample_loc_w,
         _agg = jax.checkpoint(_agg)
     agg = _agg(params, sp, sample_loc, sample_loc_w, sample_ray_dirs, Rw2c)
 
-    ray_dist = compute_ray_dist(sample_loc, agg.ray_valid,
-                                cfg.query.vsize[2], cfg.render.raydist_mode_unit)
-
-    render_func = RENDER_FUNCS[cfg.render.which_render_func]
-    blend_func = BLEND_FUNCS[cfg.render.which_blend_func]
-    tonemap = TONEMAP_FUNCS[cfg.render.which_tonemap_func]
-    bg = jnp.asarray(cfg.render.bg_color, jnp.float32)
-    if cfg.agg.shading_color_channel_num != 3:
-        bg = jnp.zeros((cfg.agg.shading_color_channel_num,), jnp.float32)
-
-    (ray_color, _point_color, opacity, acc_transmission, blend_w,
-     background_transmission, _bg_bw) = ray_march(
-        ray_dist, agg.ray_valid, agg.features, render_func, blend_func, bg)
-    ray_color = tonemap(ray_color)
-
-    # blend-weighted expected depth (perspective z of shading samples) —
-    # feeds ray_depth_masked_* losses (base_rendering_model.py:565-571)
-    depth = jnp.sum(blend_w[..., 0] * sample_loc[..., 2], axis=-1,
-                    keepdims=True)
-
-    queried_shading = (~jnp.any(agg.ray_valid, axis=-1, keepdims=True)).astype(jnp.float32)
     ray_mask = jnp.any(sp.mask.reshape(sp.mask.shape[0], -1), axis=-1)
-
-    out = RenderOutput(
-        coarse_raycolor=ray_color,
-        coarse_is_background=background_transmission,
-        coarse_depth=depth,
-        coarse_point_opacity=opacity,
-        queried_shading=queried_shading,
-        ray_mask=ray_mask,
-        weight=agg.weight,
-        conf_coefficient=agg.conf_coefficient,
-        ray_valid=agg.ray_valid,
-        sample_loc_w=sample_loc_w,
-    )
+    out = _finalize(cfg, agg.features, agg.ray_valid, agg.weight,
+                    agg.conf_coefficient, sample_loc, sample_loc_w, ray_mask)
 
     if prob:
         # probe outputs used by point growing (_ori.py:351-372)
-        op = opacity  # [R, SR]
+        op = out.coarse_point_opacity  # [R, SR]
         max_op = jnp.max(op, axis=-1, keepdims=True)             # [R,1]
         op_ind = jnp.argmax(op, axis=-1)                         # [R]
         r = jnp.arange(op.shape[0])
@@ -161,6 +173,134 @@ def shade(params: Dict, cfg: PointNeRFConfig, sp, sample_loc, sample_loc_w,
     return out
 
 
+def decode_slots(cfg: PointNeRFConfig, rs: int) -> int:
+    """Static compact-decode capacity for `rs` dense sample slots (rounded up
+    to 512 for clean MXU/VPU tiling, clamped to the dense extent)."""
+    c = int(round(cfg.query.decode_capacity * rs))
+    return min(rs, max(512, -(-c // 512) * 512))
+
+
+def compact_select(v, C: int):
+    """Stable valid-first compaction bookkeeping for a flat validity mask.
+
+    v: [RS] bool. Returns (keep [C] int32 — flat index of the j-th valid slot
+    (0 for the unused tail), rank [RS] — each slot's rank among valid slots,
+    sel [RS] — valid AND within capacity, cvalid [C] — compact rows holding a
+    real slot, n_valid []).
+    """
+    RS = v.shape[0]
+    rank = jnp.cumsum(v.astype(jnp.int32)) - 1
+    n_valid = jnp.sum(v.astype(jnp.int32))
+    sel = v & (rank < C)
+    keep = jnp.zeros((C,), jnp.int32).at[
+        jnp.where(sel, rank, C)].set(jnp.arange(RS, dtype=jnp.int32),
+                                     mode="drop")
+    cvalid = jnp.arange(C, dtype=jnp.int32) < jnp.minimum(n_valid, C)
+    return keep, rank, sel, cvalid, n_valid
+
+
+def expand_compact(a_c, rank, sel, fill, R: int, SR: int):
+    """Scatter a [C(,1),...] compact tensor back to the dense [R, SR, ...]
+    frame; non-selected slots get `fill`."""
+    C = a_c.shape[0]
+    a = a_c[:, 0] if a_c.ndim > 1 and a_c.shape[1] == 1 else a_c
+    full = a[jnp.minimum(rank, C - 1)]
+    m = sel.reshape((sel.shape[0],) + (1,) * (full.ndim - 1))
+    full = jnp.where(m, full, fill)
+    return full.reshape((R, SR) + full.shape[1:])
+
+
+def decode_compacted(params: Dict, cfg: PointNeRFConfig, sp, cloc, cloc_w,
+                     craydir, Rw2c, compute_dtype):
+    """Aggregate a compact [C, 1, K] neighbor batch (remat-wrapped like the
+    dense path)."""
+    def _agg(params, sp, cloc, cloc_w, craydir, Rw2c):
+        return aggregate(params, cfg.agg, sp, cloc[:, None], cloc_w[:, None],
+                         craydir[:, None], cfg.query.vsize, Rw2c=Rw2c,
+                         compute_dtype=compute_dtype)
+
+    if cfg.parallel.remat:
+        _agg = jax.checkpoint(_agg)
+    return _agg(params, sp, cloc, cloc_w, craydir, Rw2c)
+
+
+def conf_coeff_fill(cfg: PointNeRFConfig, pc: PointCloud):
+    """Dense-path conf_coefficient value for invalid lanes: clamp(conf[0])
+    (gathers clamp pidx -1 -> 0) — never enters any loss (losses mask by
+    weight > 0) but kept for output parity with the dense decode."""
+    return (jnp.clip(pc.conf[0, 0], 0.0001, 1.0)
+            if cfg.agg.point_conf_mode else 1.0)
+
+
+def shade_compacted(params: Dict, cfg: PointNeRFConfig, pc: PointCloud,
+                    grid, sample_loc_w, sample_mask,
+                    batch: RayBatch, Rw2c,
+                    compute_dtype=jnp.float32) -> RenderOutput:
+    """Static-capacity compacted KNN + decode (QueryConfig.decode_capacity).
+
+    The reference compacts valid (ray, sample) slots dynamically with boolean
+    indexing (point_aggregators.py:522-534); dynamic shapes don't jit, so this
+    compacts to a STATIC capacity C: valid slots keep their stable ray-major
+    rank, the first C are gathered, KNN-queried and decoded as a [C, 1, K]
+    batch, and the results scattered back into the dense [R, SR] frame
+    (invalid slots get the exact fill values the masked dense decode produces,
+    so the two paths are numerically identical —
+    tests/test_compact_decode.py). The KNN candidate sort, payload gather, PE,
+    MLPs, and their backward scatters all shrink by ~the valid fraction
+    (typically 5-25% for object-centric batches). Valid slots beyond C render
+    as background and are counted in `decode_dropped`.
+
+    sample_loc_w/sample_mask are the PRE-KNN shading selection
+    (ops.query.generate_shading_points).
+    """
+    from ..ops.query import knn_query
+    if cfg.train.compute_dtype == "bf16":
+        compute_dtype = jnp.bfloat16
+    R, SR = sample_mask.shape
+    RS = R * SR
+    C = decode_slots(cfg, RS)
+
+    v = sample_mask.reshape(RS)
+    keep, rank, sel, cvalid, n_valid = compact_select(v, C)
+
+    cloc_w = jnp.where(cvalid[:, None],
+                       sample_loc_w.reshape(RS, 3)[keep], 0.0)   # [C, 3]
+    craydir = batch.raydir[keep // SR]                           # [C, 3]
+
+    cpidx, _d2 = knn_query(cloc_w[:, None], cvalid[:, None], pc.xyz, grid,
+                           cfg.query)                            # [C, 1, K]
+
+    xyz_pers = w2pers(pc.xyz, batch.camrotc2w, batch.campos)
+    sp = gather_points(pc, xyz_pers, cpidx)                      # [C,1,K,*]
+    cmask = cvalid & jnp.any(cpidx[:, 0] >= 0, axis=-1)          # [C] final
+    cloc = w2pers(cloc_w, batch.camrotc2w, batch.campos)
+    cloc = jnp.where(cmask[:, None], cloc, 0.0)
+    cloc_w = jnp.where(cmask[:, None], cloc_w, 0.0)
+    if Rw2c is not None and Rw2c.ndim == 3:
+        # per-point rotations [N,3,3] (editing composites): gather per neighbor
+        Rw2c = Rw2c[jnp.maximum(cpidx, 0)]                       # [C,1,K,3,3]
+
+    agg = decode_compacted(params, cfg, sp, cloc, cloc_w, craydir, Rw2c,
+                           compute_dtype)
+
+    # scatter back to the dense [R, SR] frame
+    features = expand_compact(agg.features, rank, sel, 0.0, R, SR)
+    weight = expand_compact(agg.weight, rank, sel, 0.0, R, SR)
+    conf_coeff = expand_compact(agg.conf_coefficient, rank, sel,
+                                conf_coeff_fill(cfg, pc), R, SR)
+    ray_valid = expand_compact(agg.ray_valid, rank, sel, False, R, SR)
+    # dense post-KNN sample mask: slots whose query found >= 1 neighbor —
+    # governs sample_loc zeroing (cummax ray-dist parity) and ray_mask
+    final_mask = expand_compact(cmask, rank, sel, False, R, SR)  # [R, SR]
+
+    sample_loc = w2pers(sample_loc_w, batch.camrotc2w, batch.campos)
+    sample_loc = jnp.where(final_mask[..., None], sample_loc, 0.0)
+    ray_mask = jnp.any(final_mask, axis=-1)
+    return _finalize(cfg, features, ray_valid, weight, conf_coeff,
+                     sample_loc, sample_loc_w, ray_mask,
+                     decode_dropped=n_valid - jnp.sum(sel.astype(jnp.int32)))
+
+
 def _shade_at(params, pc: PointCloud, st: PointCloudStatic, grid,
               batch: RayBatch, cfg: PointNeRFConfig, sample_loc_w,
               sample_mask, prob: bool, compute_dtype) -> RenderOutput:
@@ -168,6 +308,10 @@ def _shade_at(params, pc: PointCloud, st: PointCloudStatic, grid,
     the occupancy-selected coarse pass and the importance-resampled fine
     pass)."""
     from ..ops.query import knn_query
+    if cfg.query.decode_capacity > 0 and not prob:
+        return shade_compacted(params, cfg, pc, grid, sample_loc_w,
+                               sample_mask, batch, st.Rw2c,
+                               compute_dtype=compute_dtype)
     sample_pidx, _d2 = knn_query(sample_loc_w, sample_mask, pc.xyz, grid,
                                  cfg.query)
     pnt_mask = sample_pidx >= 0
@@ -197,26 +341,43 @@ def render_rays(params: Dict, pc: PointCloud, st: PointCloudStatic,
     k_coarse = k_fine = None
     if key is not None:
         k_coarse, k_fine = jax.random.split(key)
-    q: QueryResult = query_points(
-        pc.xyz, grid, batch.campos, batch.raydir,
-        float(cfg.render.near_plane), float(cfg.render.far_plane), cfg.query,
-        jitter=cfg.render.train_jitter if train else 0.0, key=k_coarse,
-        gen_name=_effective_gen(cfg), gen_kwargs=generator_kwargs(cfg))
+    if cfg.query.decode_capacity > 0 and not prob:
+        # static-capacity valid-slot compaction before the KNN (prob-mode
+        # probes need the full [R,SR,K] gathered payloads for argmax stats —
+        # dense there)
+        from ..ops.query import generate_shading_points
+        sample_loc_w, sample_mask = generate_shading_points(
+            grid, batch.campos, batch.raydir, float(cfg.render.near_plane),
+            float(cfg.render.far_plane), cfg.query,
+            jitter=cfg.render.train_jitter if train else 0.0, key=k_coarse,
+            gen_name=_effective_gen(cfg), gen_kwargs=generator_kwargs(cfg))
+        out = shade_compacted(params, cfg, pc, grid, sample_loc_w,
+                              sample_mask, batch, st.Rw2c,
+                              compute_dtype=compute_dtype)
+    else:
+        q: QueryResult = query_points(
+            pc.xyz, grid, batch.campos, batch.raydir,
+            float(cfg.render.near_plane), float(cfg.render.far_plane),
+            cfg.query, jitter=cfg.render.train_jitter if train else 0.0,
+            key=k_coarse, gen_name=_effective_gen(cfg),
+            gen_kwargs=generator_kwargs(cfg))
 
-    # Perspective coords of all points for this camera (neural_points.py:635).
-    xyz_pers = w2pers(pc.xyz, batch.camrotc2w, batch.campos)
-    sp = gather_points(pc, xyz_pers, q.sample_pidx)
-    sample_loc = w2pers(q.sample_loc_w, batch.camrotc2w, batch.campos)
-    sample_loc = jnp.where(q.sample_mask[..., None], sample_loc, 0.0)
+        # Perspective coords of all points for this camera
+        # (neural_points.py:635).
+        xyz_pers = w2pers(pc.xyz, batch.camrotc2w, batch.campos)
+        sp = gather_points(pc, xyz_pers, q.sample_pidx)
+        sample_loc = w2pers(q.sample_loc_w, batch.camrotc2w, batch.campos)
+        sample_loc = jnp.where(q.sample_mask[..., None], sample_loc, 0.0)
 
-    sample_ray_dirs = jnp.broadcast_to(batch.raydir[:, None, :],
-                                       q.sample_loc_w.shape)
-    Rw2c = st.Rw2c
-    if Rw2c.ndim == 3:
-        # per-point rotations (editing composites): gather per neighbor
-        Rw2c = Rw2c[jnp.maximum(q.sample_pidx, 0)]      # [R,SR,K,3,3]
-    out = shade(params, cfg, sp, sample_loc, q.sample_loc_w, sample_ray_dirs,
-                Rw2c, prob=prob, compute_dtype=compute_dtype)
+        sample_ray_dirs = jnp.broadcast_to(batch.raydir[:, None, :],
+                                           q.sample_loc_w.shape)
+        Rw2c = st.Rw2c
+        if Rw2c.ndim == 3:
+            # per-point rotations (editing composites): gather per neighbor
+            Rw2c = Rw2c[jnp.maximum(q.sample_pidx, 0)]      # [R,SR,K,3,3]
+        out = shade(params, cfg, sp, sample_loc, q.sample_loc_w,
+                    sample_ray_dirs, Rw2c, prob=prob,
+                    compute_dtype=compute_dtype)
 
     if cfg.render.fine_sample_num > 0:
         # Hierarchical refinement (refine_ray_generation,
@@ -228,15 +389,16 @@ def render_rays(params: Dict, pc: PointCloud, st: PointCloudStatic,
         from ..ops.query import refine_ray_generation
         far = jnp.asarray(cfg.render.far_plane, jnp.float32)
         rd2 = jnp.sum(batch.raydir * batch.raydir, -1, keepdims=True)
-        t = jnp.sum((q.sample_loc_w - batch.campos[None, None, :])
+        # out.ray_valid == the post-KNN sample mask on both decode paths
+        t = jnp.sum((out.sample_loc_w - batch.campos[None, None, :])
                     * batch.raydir[:, None, :], -1) / rd2          # [R,SR]
-        t = jnp.where(q.sample_mask, t, far)
+        t = jnp.where(out.ray_valid, t, far)
         # blend weights recomputed from the coarse opacities with the same
         # exclusive-cumprod transmission as ray_march
         alpha = out.coarse_point_opacity
         acc = jnp.cumprod(1.0 - alpha + 1e-10, axis=-1)
         acc = jnp.concatenate([jnp.ones_like(acc[:, :1]), acc[:, :-1]], -1)
-        w = jnp.where(q.sample_mask, alpha * acc, 0.0)
+        w = jnp.where(out.ray_valid, alpha * acc, 0.0)
         fine_pos, _seg, mid = refine_ray_generation(
             batch.campos, batch.raydir, cfg.render.fine_sample_num,
             jax.lax.stop_gradient(t), jax.lax.stop_gradient(w),

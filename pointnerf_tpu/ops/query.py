@@ -399,6 +399,24 @@ def knn_query(sample_loc_w: jnp.ndarray, sample_mask: jnp.ndarray,
 # Full query (ray gen -> shading selection -> KNN)
 # --------------------------------------------------------------------------
 
+def generate_shading_points(grid: PointGrid, campos: jnp.ndarray,
+                            raydir: jnp.ndarray, near: float, far: float,
+                            cfg: QueryConfig, jitter: float = 0.0,
+                            key: Optional[jnp.ndarray] = None,
+                            gen_name: Optional[str] = None,
+                            gen_kwargs: Tuple = ()):
+    """Ray generation + occupancy-selected shading locations (the pre-KNN half
+    of query_points). Returns (sample_loc_w [R,SR,3], sample_mask [R,SR])."""
+    meta = grid_meta(cfg)
+    gen = RAY_GENERATORS[gen_name or (
+        "near_far_disparity_linear" if cfg.inverse > 0 else "near_far_linear")]
+    raypos, _seg, tvals = gen(campos, raydir, cfg.z_depth_dim, near, far,
+                              jitter=jitter, key=key, **dict(gen_kwargs))
+    tvals = jnp.broadcast_to(tvals, raypos.shape[:2])
+    return select_shading_points(
+        raypos, grid, meta, cfg.SR, tvals=tvals, campos=campos, raydir=raydir)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "jitter", "gen_name",
                                               "gen_kwargs"))
 def query_points(xyz: jnp.ndarray, grid: PointGrid, campos: jnp.ndarray,
@@ -414,14 +432,9 @@ def query_points(xyz: jnp.ndarray, grid: PointGrid, campos: jnp.ndarray,
     which_ray_generation); defaults to cfg.inverse selection.
     gen_kwargs: extra generator params as a hashable (name, value) tuple
     (e.g. near_middle_far's middle/middle_split)."""
-    meta = grid_meta(cfg)
-    gen = RAY_GENERATORS[gen_name or (
-        "near_far_disparity_linear" if cfg.inverse > 0 else "near_far_linear")]
-    raypos, _seg, tvals = gen(campos, raydir, cfg.z_depth_dim, near, far,
-                              jitter=jitter, key=key, **dict(gen_kwargs))
-    tvals = jnp.broadcast_to(tvals, raypos.shape[:2])
-    sample_loc_w, sample_mask = select_shading_points(
-        raypos, grid, meta, cfg.SR, tvals=tvals, campos=campos, raydir=raydir)
+    sample_loc_w, sample_mask = generate_shading_points(
+        grid, campos, raydir, near, far, cfg, jitter=jitter, key=key,
+        gen_name=gen_name, gen_kwargs=gen_kwargs)
     sample_pidx, _d2 = knn_query(sample_loc_w, sample_mask, xyz, grid, cfg)
     pnt_mask = sample_pidx >= 0
     # Rays whose shading points found zero neighbors drop out of the mask

@@ -352,8 +352,11 @@ def make_sharded_eval_step(cfg: PointNeRFConfig, mesh: Mesh,
     # fine_raycolor (the last field) is never produced on the sharded path —
     # _render_local shades once; hierarchical refinement is single-chip only.
     n_core = 10  # always-present RenderOutput fields
-    n_prob = len(RenderOutput._fields) - n_core - 1
+    # + decode_dropped (None: the sharded path shades dense) before the prob
+    # block, and fine_raycolor (None) last
+    n_prob = len(RenderOutput._fields) - n_core - 2
     out_specs = RenderOutput(*([P(("dp", "mp"))] * n_core),
+                             None,
                              *([P(("dp", "mp")) if prob else None] * n_prob),
                              None)
     eval_sm = jax.shard_map(

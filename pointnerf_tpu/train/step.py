@@ -56,6 +56,10 @@ def loss_fn(params, st: PointCloudStatic, grid: PointGrid, batch: RayBatch,
         miss = miss & (jnp.linalg.norm(batch.gt_image - bg[None], axis=-1)
                        > 2e-3)
     items["n_miss"] = jnp.sum(miss)
+    if out.decode_dropped is not None:
+        # compacted-decode overflow (valid slots past capacity): should be 0
+        # in a healthy run — drivers log it so capacity can be raised
+        items["n_decode_dropped"] = out.decode_dropped
     return total, items
 
 
