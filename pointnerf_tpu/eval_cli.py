@@ -14,7 +14,7 @@ import os
 
 import numpy as np
 
-from .utils.metrics import lpips_fn, psnr, rmse, ssim
+from .utils.metrics import lpips_fn, lpips_proxy, psnr, rmse, ssim
 
 
 def load_image(path: str) -> np.ndarray:
@@ -28,7 +28,7 @@ def main():
     ap.add_argument("--pred", required=True)
     ap.add_argument("--gt", required=True)
     ap.add_argument("--metrics", nargs="+",
-                    default=["psnr", "ssim", "rmse", "lpips"])
+                    default=["psnr", "ssim", "rmse", "lpips", "lpips_proxy"])
     ap.add_argument("--out", default=None,
                     help="output dir for scores (default: --pred)")
     args = ap.parse_args()
@@ -54,6 +54,8 @@ def main():
             per_metric["rmse"].append(rmse(p, g))
         if lp is not None and "lpips" in per_metric:
             per_metric["lpips"].append(lp(p, g))
+        if "lpips_proxy" in per_metric:
+            per_metric["lpips_proxy"].append(lpips_proxy(p, g))
 
     lines = []
     for m, vals in per_metric.items():

@@ -194,6 +194,20 @@ def _render_local(mlp_params, pc_local: PointCloud, scene_local: PointGrid,
     sample_loc_w, sample_mask = select_shading_points(
         raypos, scene_local, meta, q.SR)
 
+    if q.decode_capacity > 0 and not prob:
+        # Static-capacity compaction per ray block (models/renderer.py
+        # shade_compacted, distributed): selection ran against the union
+        # occupancy with a replicated key, so every mp shard computes
+        # identical masks and identical compaction bookkeeping. Each ray
+        # block compacts its rs*SR slots to Cb; local KNN + payload gather +
+        # the all_to_all candidate exchange all run on the [mp*Cb] compact
+        # slots (comm volume shrinks by the valid fraction), the merged top-K
+        # block lands on its owning shard, and the decode scatters back into
+        # that shard's dense [rs, SR] frame.
+        return _render_local_compact(
+            mlp_params, pc_local, scene_local, Rw2c, batch, cfg,
+            sample_loc_w, sample_mask, mp, compute_dtype)
+
     # 3. Local KNN (per-shard grid + points) over the full local ray set.
     pidx, d2 = knn_query(sample_loc_w, sample_mask, pc_local.xyz,
                          scene_local, q)
@@ -248,6 +262,101 @@ def _render_local(mlp_params, pc_local: PointCloud, scene_local: PointGrid,
     return out, gt_b
 
 
+def _render_local_compact(mlp_params, pc_local: PointCloud, grid, Rw2c,
+                          batch: RayBatch, cfg: PointNeRFConfig,
+                          sample_loc_w, sample_mask, mp: int, compute_dtype
+                          ) -> Tuple[RenderOutput, jnp.ndarray]:
+    """Compacted sharded shading (see _render_local): per-ray-block static
+    compaction -> local KNN on compact slots -> all_to_all merge -> decode ->
+    scatter back to the owning shard's dense frame."""
+    from ..models.renderer import (_finalize, compact_select, conf_coeff_fill,
+                                   decode_compacted, decode_slots,
+                                   expand_compact)
+    q = cfg.query
+    if cfg.train.compute_dtype == "bf16":
+        compute_dtype = jnp.bfloat16
+    Rl, SR = sample_mask.shape
+    rs = Rl // mp
+    Cb = decode_slots(cfg, rs * SR)
+
+    v = sample_mask.reshape(mp, rs * SR)
+    keep, rank, sel, cvalid, n_valid = jax.vmap(
+        lambda vb: compact_select(vb, Cb))(v)          # [mp, Cb] / [mp, rs*SR]
+
+    # flat compact slots across all blocks: [mp*Cb]
+    keep_glob = (keep + (jnp.arange(mp, dtype=jnp.int32) * rs * SR)[:, None]
+                 ).reshape(mp * Cb)
+    cv_all = cvalid.reshape(mp * Cb)
+    cloc_w_all = jnp.where(cv_all[:, None],
+                           sample_loc_w.reshape(Rl * SR, 3)[keep_glob], 0.0)
+
+    # local KNN + payload gather on the compact slots only
+    pidx, d2 = knn_query(cloc_w_all[:, None], cv_all[:, None],
+                         pc_local.xyz, grid, q)        # [mp*Cb, 1, K]
+    xyz_pers = w2pers(pc_local.xyz, batch.camrotc2w, batch.campos)
+    sp = gather_points(pc_local, xyz_pers, pidx)       # [mp*Cb, 1, K, *]
+
+    merged = SampledPoints(
+        xyz=_a2a(sp.xyz, mp), xyz_pers=_a2a(sp.xyz_pers, mp),
+        features=_a2a(sp.features, mp), conf=_a2a(sp.conf, mp),
+        color=_a2a(sp.color, mp), dirs=_a2a(sp.dirs, mp),
+        mask=sp.mask)
+    d2m = _a2a(jnp.where(sp.mask, d2, jnp.inf), mp)    # [Cb, 1, mp*K]
+
+    if mp > 1:
+        neg, sel_k = jax.lax.top_k(-d2m, q.K)          # [Cb, 1, K]
+        d2_top = -neg
+
+        def take(a):
+            return jnp.take_along_axis(a, sel_k[..., None], axis=2)
+        merged = SampledPoints(
+            xyz=take(merged.xyz), xyz_pers=take(merged.xyz_pers),
+            features=take(merged.features), conf=take(merged.conf),
+            color=take(merged.color), dirs=take(merged.dirs),
+            mask=jnp.isfinite(d2_top))
+    else:
+        merged = merged._replace(mask=jnp.isfinite(d2m))
+
+    # this shard decodes its own ray block's compact slots
+    my = jax.lax.axis_index("mp") if mp > 1 else 0
+    rank_my = jnp.take(rank, my, axis=0)               # [rs*SR]
+    sel_my = jnp.take(sel, my, axis=0)
+    keep_my = jnp.take(keep, my, axis=0)               # [Cb]
+    cvalid_my = jnp.take(cvalid, my, axis=0)
+    nv_my = jnp.take(n_valid, my, axis=0)
+
+    def blk(a):
+        return jax.lax.dynamic_slice_in_dim(a, my * rs, rs, axis=0)
+    loc_w_blk = blk(sample_loc_w)                      # [rs, SR, 3]
+    raydir_b = blk(batch.raydir)
+    gt_b = blk(batch.gt_image) if batch.gt_image is not None else None
+
+    cmask = cvalid_my & jnp.any(merged.mask[:, 0], axis=-1)      # [Cb]
+    cloc_w = jnp.where(cmask[:, None],
+                       loc_w_blk.reshape(rs * SR, 3)[keep_my], 0.0)
+    craydir = raydir_b[keep_my // SR]
+    cloc = w2pers(cloc_w, batch.camrotc2w, batch.campos)
+    cloc = jnp.where(cmask[:, None], cloc, 0.0)
+
+    agg = decode_compacted(mlp_params, cfg, merged, cloc, cloc_w, craydir,
+                           Rw2c, compute_dtype)
+
+    features = expand_compact(agg.features, rank_my, sel_my, 0.0, rs, SR)
+    weight = expand_compact(agg.weight, rank_my, sel_my, 0.0, rs, SR)
+    conf_coeff = expand_compact(agg.conf_coefficient, rank_my, sel_my,
+                                conf_coeff_fill(cfg, pc_local), rs, SR)
+    ray_valid = expand_compact(agg.ray_valid, rank_my, sel_my, False, rs, SR)
+    final_mask = expand_compact(cmask, rank_my, sel_my, False, rs, SR)
+
+    sample_loc = w2pers(loc_w_blk, batch.camrotc2w, batch.campos)
+    sample_loc = jnp.where(final_mask[..., None], sample_loc, 0.0)
+    ray_mask = jnp.any(final_mask, axis=-1)
+    out = _finalize(cfg, features, ray_valid, weight, conf_coeff,
+                    sample_loc, loc_w_blk, ray_mask,
+                    decode_dropped=nv_my - jnp.sum(sel_my.astype(jnp.int32)))
+    return out, gt_b
+
+
 def _squeeze0(tree):
     return jax.tree.map(lambda x: x[0], tree)
 
@@ -287,6 +396,12 @@ def make_sharded_train_step(cfg: PointNeRFConfig, mesh: Mesh):
                                     key, train=True, mp=mp)
             total, items = compute_losses(out, gt, cfg.loss)
             items["mse"] = jnp.mean((out.coarse_raycolor - gt) ** 2)
+            if out.decode_dropped is not None:
+                # total compacted-decode overflow across the mesh (psum of
+                # equal-sized ray blocks; the later pmean over items is a
+                # no-op on this already-uniform value)
+                items["n_decode_dropped"] = jax.lax.psum(
+                    out.decode_dropped, ("dp", "mp")).astype(jnp.float32)
             return total, items
 
         (total, items), grads = jax.value_and_grad(
@@ -345,7 +460,9 @@ def make_sharded_eval_step(cfg: PointNeRFConfig, mesh: Mesh,
         out, _gt = _render_local(params["mlp"], pc_local, grid,
                                  scene.num_active[0], scene.Rw2c, batch, cfg,
                                  key=None, train=False, mp=mp, prob=prob)
-        return out
+        # the per-shard overflow scalar can't ride the ray-sharded out_specs;
+        # drivers read it from the training items instead
+        return out._replace(decode_dropped=None)
 
     # Spec tree must mirror the output: None in the prob-only slots when the
     # probe outputs are disabled (None is an empty subtree on both sides).

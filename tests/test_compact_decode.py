@@ -134,3 +134,61 @@ def test_compact_training_step_runs():
     assert losses[-1] < losses[0]
     out = eval_step(state.params, st, grid, batch, cfg)
     assert np.isfinite(np.asarray(out.coarse_raycolor)).all()
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_compact_matches_single_chip():
+    """The sharded compacted path (per-ray-block compaction, compact
+    all_to_all) must match the single-chip compacted render exactly when no
+    block overflows."""
+    from pointnerf_tpu.models.points import make_point_cloud
+    from pointnerf_tpu.models.aggregator import init_aggregator_params
+    from pointnerf_tpu.parallel import (build_sharded_scene,
+                                        create_sharded_train_state,
+                                        make_mesh, make_sharded_eval_step,
+                                        make_sharded_train_step,
+                                        partition_points)
+    from test_render import synthetic_scene
+
+    cfg = _cap(tiny_test_config(), 0.5)
+    cfg = cfg.replace(query=dataclasses.replace(
+        cfg.query, shell_layered=False, P=128))
+    xyz, campos, camrot = synthetic_scene(n_pts=400)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+
+    pc1, st1 = make_point_cloud(xyz, k1, cfg.points,
+                                cfg.agg.point_features_dim, capacity=512)
+    params = init_aggregator_params(k2, cfg.agg)
+    grid1 = refresh_grid(pc1, st1, cfg)
+    batch = make_batch(campos, camrot, R=64)
+    ref = eval_step({"mlp": params, "points": pc1}, st1, grid1, batch, cfg)
+
+    mesh = make_mesh(dp=4, mp=2)
+    n = xyz.shape[0]
+    pc_s, num_active = partition_points(
+        xyz, k1, cfg, mp=2, features=np.asarray(pc1.features[:n]),
+        color=np.asarray(pc1.color[:n]), dirs=np.asarray(pc1.dirs[:n]),
+        conf=np.asarray(pc1.conf[:n]))
+    scene = build_sharded_scene(pc_s, num_active, cfg, mesh)
+    state, scene = create_sharded_train_state(
+        jax.random.PRNGKey(9), params, pc_s, scene, cfg, mesh)
+    out = make_sharded_eval_step(cfg, mesh)(state.params, scene, batch)
+
+    np.testing.assert_array_equal(np.asarray(out.ray_mask),
+                                  np.asarray(ref.ray_mask))
+    np.testing.assert_allclose(np.asarray(out.coarse_raycolor),
+                               np.asarray(ref.coarse_raycolor),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out.weight),
+                               np.asarray(ref.weight), rtol=2e-4, atol=2e-4)
+
+    # training: several steps run, loss falls, overflow metric reports 0
+    step = make_sharded_train_step(cfg, mesh)
+    losses, dropped = [], []
+    for _ in range(6):
+        state, items = step(state, scene, batch)
+        losses.append(float(items["loss_total"]))
+        dropped.append(float(items["n_decode_dropped"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+    assert max(dropped) == 0.0
