@@ -199,15 +199,22 @@ def compact_select(v, C: int):
     return keep, rank, sel, cvalid, n_valid
 
 
-def expand_compact(a_c, rank, sel, fill, R: int, SR: int):
+def expand_compact(a_c, keep, cvalid, fill, R: int, SR: int):
     """Scatter a [C(,1),...] compact tensor back to the dense [R, SR, ...]
-    frame; non-selected slots get `fill`."""
-    C = a_c.shape[0]
+    frame; non-selected slots get `fill`.
+
+    Written as a forward SCATTER-SET (unique destinations, tail rows
+    dropped) rather than a rank-gather: autodiff then produces a cheap
+    [C]-row gather in the backward instead of a [R*SR]-row scatter-add —
+    the gather formulation's backward scatters dominated the step trace."""
+    RS = R * SR
     a = a_c[:, 0] if a_c.ndim > 1 and a_c.shape[1] == 1 else a_c
-    full = a[jnp.minimum(rank, C - 1)]
-    m = sel.reshape((sel.shape[0],) + (1,) * (full.ndim - 1))
-    full = jnp.where(m, full, fill)
-    return full.reshape((R, SR) + full.shape[1:])
+    C = a.shape[0]
+    base = jnp.broadcast_to(jnp.asarray(fill, a.dtype), (RS,) + a.shape[1:])
+    # invalid compact rows -> distinct out-of-bounds slots, dropped
+    dst = jnp.where(cvalid, keep, RS + jnp.arange(C, dtype=jnp.int32))
+    full = base.at[dst].set(a, mode="drop", unique_indices=True)
+    return full.reshape((R, SR) + a.shape[1:])
 
 
 def decode_compacted(params: Dict, cfg: PointNeRFConfig, sp, cloc, cloc_w,
@@ -284,14 +291,14 @@ def shade_compacted(params: Dict, cfg: PointNeRFConfig, pc: PointCloud,
                            compute_dtype)
 
     # scatter back to the dense [R, SR] frame
-    features = expand_compact(agg.features, rank, sel, 0.0, R, SR)
-    weight = expand_compact(agg.weight, rank, sel, 0.0, R, SR)
-    conf_coeff = expand_compact(agg.conf_coefficient, rank, sel,
+    features = expand_compact(agg.features, keep, cvalid, 0.0, R, SR)
+    weight = expand_compact(agg.weight, keep, cvalid, 0.0, R, SR)
+    conf_coeff = expand_compact(agg.conf_coefficient, keep, cvalid,
                                 conf_coeff_fill(cfg, pc), R, SR)
-    ray_valid = expand_compact(agg.ray_valid, rank, sel, False, R, SR)
+    ray_valid = expand_compact(agg.ray_valid, keep, cvalid, False, R, SR)
     # dense post-KNN sample mask: slots whose query found >= 1 neighbor —
     # governs sample_loc zeroing (cummax ray-dist parity) and ray_mask
-    final_mask = expand_compact(cmask, rank, sel, False, R, SR)  # [R, SR]
+    final_mask = expand_compact(cmask, keep, cvalid, False, R, SR)  # [R, SR]
 
     sample_loc = w2pers(sample_loc_w, batch.camrotc2w, batch.campos)
     sample_loc = jnp.where(final_mask[..., None], sample_loc, 0.0)

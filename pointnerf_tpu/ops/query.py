@@ -247,14 +247,16 @@ def select_shading_points(raypos: jnp.ndarray, grid: PointGrid, meta: GridMeta,
     occ = grid.vox_occ[jnp.minimum(vid, grid.vox_occ.shape[0] - 1)]
     hit = inb & (occ > 0)                                # [R, D]
 
-    # Gather formulation (TPU-friendly, no scatters): slot s takes the s-th
-    # hit sample = first d with cumsum(hit)[d] == s+1. The index is the
-    # count of cumsum entries < s+1 — a dense [R, SR, D] comparison-sum that
-    # stays on the VPU (vmapped searchsorted lowers to a serial while loop).
-    csum = jnp.cumsum(hit.astype(jnp.int32), axis=-1)    # [R, D]
-    targets = jnp.arange(1, SR + 1, dtype=jnp.int32)     # [SR]
-    idx = jnp.sum((csum[:, None, :] < targets[None, :, None]),
-                  axis=-1, dtype=jnp.int32)              # [R, SR]
+    # Sort formulation: key = d for hit samples, D + d for misses; an
+    # ascending per-ray sort packs the hit positions (in depth order) to the
+    # front, and the first SR keys ARE the slot indices. One [R, D] i32 sort
+    # replaces the earlier dense [R, SR, D] comparison-sum, which
+    # materialized a 115M-element intermediate and cost ~11 ms/step at the
+    # lego budget (vmapped searchsorted is worse still — it lowers to a
+    # serial while loop).
+    d_ar = jnp.arange(D, dtype=jnp.int32)[None, :]
+    key = jnp.where(hit, d_ar, D + d_ar)                 # [R, D]
+    idx = jax.lax.sort(key, dimension=-1)[:, :SR]        # [R, SR]
     sample_mask = idx < D                                # slot exists
     idx = jnp.minimum(idx, D - 1)
     if tvals is not None:
@@ -325,6 +327,30 @@ def _knn_chunk(centers, center_valid, xyz, grid, meta, cfg: QueryConfig):
     r2 = cfg.radius_limit ** 2
     if r2 > 0:
         cand_ok = cand_ok & (d2 <= r2)
+
+    if cfg.NN <= 0:
+        # NN=0: a UNIFORM RANDOM K-subset of the in-radius candidates instead
+        # of the K nearest — the reference's query_rand_along_ray fills the
+        # first K then reservoir-samples the rest (query_point_indices.py
+        # :416-492, Algorithm R), which is exactly a uniform K-subset. Static
+        # equivalent: give every candidate a hash-random key and keep the K
+        # smallest. Keys hash (center voxel, point id) — deterministic per
+        # geometry where the reference reseeds from wall-clock time
+        # (documented deviation; re-jitters every step through ray jitter).
+        if grid.nbr_xyz is not None:
+            pid_flat = grid.nbr_pid[dsc].reshape(C, Q * P)
+        else:
+            pid_flat = grid.bucket_pnt[slot_c].reshape(C, Q * P)
+        cid = jnp.arange(C, dtype=jnp.float32)[:, None]
+        u = jnp.sin(pid_flat.astype(jnp.float32) * 12.9898
+                    + cid * 78.233) * 43758.5453
+        u = u - jnp.floor(u)
+        keys = jnp.where(cand_ok.reshape(C, Q * P), u, jnp.inf)
+        k_sorted, pid_sorted, d2_sorted = jax.lax.sort(
+            (keys, pid_flat, d2.reshape(C, Q * P)), num_keys=1)
+        ok = jnp.isfinite(k_sorted[:, :K])
+        return (jnp.where(ok, pid_sorted[:, :K], -1).astype(jnp.int32),
+                jnp.where(ok, d2_sorted[:, :K], jnp.inf))
 
     if cfg.shell_layered:
         # Include complete shells until the running candidate count reaches K

@@ -319,8 +319,7 @@ def _render_local_compact(mlp_params, pc_local: PointCloud, grid, Rw2c,
 
     # this shard decodes its own ray block's compact slots
     my = jax.lax.axis_index("mp") if mp > 1 else 0
-    rank_my = jnp.take(rank, my, axis=0)               # [rs*SR]
-    sel_my = jnp.take(sel, my, axis=0)
+    sel_my = jnp.take(sel, my, axis=0)                 # [rs*SR]
     keep_my = jnp.take(keep, my, axis=0)               # [Cb]
     cvalid_my = jnp.take(cvalid, my, axis=0)
     nv_my = jnp.take(n_valid, my, axis=0)
@@ -341,12 +340,13 @@ def _render_local_compact(mlp_params, pc_local: PointCloud, grid, Rw2c,
     agg = decode_compacted(mlp_params, cfg, merged, cloc, cloc_w, craydir,
                            Rw2c, compute_dtype)
 
-    features = expand_compact(agg.features, rank_my, sel_my, 0.0, rs, SR)
-    weight = expand_compact(agg.weight, rank_my, sel_my, 0.0, rs, SR)
-    conf_coeff = expand_compact(agg.conf_coefficient, rank_my, sel_my,
+    features = expand_compact(agg.features, keep_my, cvalid_my, 0.0, rs, SR)
+    weight = expand_compact(agg.weight, keep_my, cvalid_my, 0.0, rs, SR)
+    conf_coeff = expand_compact(agg.conf_coefficient, keep_my, cvalid_my,
                                 conf_coeff_fill(cfg, pc_local), rs, SR)
-    ray_valid = expand_compact(agg.ray_valid, rank_my, sel_my, False, rs, SR)
-    final_mask = expand_compact(cmask, rank_my, sel_my, False, rs, SR)
+    ray_valid = expand_compact(agg.ray_valid, keep_my, cvalid_my, False,
+                               rs, SR)
+    final_mask = expand_compact(cmask, keep_my, cvalid_my, False, rs, SR)
 
     sample_loc = w2pers(loc_w_blk, batch.camrotc2w, batch.campos)
     sample_loc = jnp.where(final_mask[..., None], sample_loc, 0.0)

@@ -52,7 +52,11 @@ def build_config(xyz, steps: int, rays_side: int = 60):
     cam_r = 2.4
     cfg = cfg.replace(
         query=dataclasses.replace(
-            cfg.query, vsize=(v, v, v), ranges=r, max_o=262144),
+            cfg.query, vsize=(v, v, v), ranges=r, max_o=262144,
+            # multi-object scenes fill more of the frame than the bench
+            # sphere: give the compacted decode 40% capacity (watch the
+            # n_decode_dropped log line; 0 in the recorded runs)
+            decode_capacity=0.4),
         render=dataclasses.replace(
             cfg.render, near_plane=cam_r - 0.75 * span,
             far_plane=cam_r + 0.75 * span),

@@ -177,3 +177,65 @@ def test_prebuilt_neighbor_parity():
     d1 = np.where(np.asarray(p1) >= 0, np.asarray(d1), np.inf)
     np.testing.assert_allclose(np.sort(d0, -1), np.sort(d1, -1),
                                rtol=1e-6, atol=1e-9)
+
+
+@pytest.mark.parametrize("prebuilt", [False, True])
+def test_nn0_random_subset(prebuilt):
+    """NN=0 (reference query_rand_along_ray, query_point_indices.py:416-492):
+    K candidates drawn uniformly from the in-radius neighborhood instead of
+    the K nearest. Every returned id must be a legal in-radius candidate, and
+    when <= K candidates exist the sets must agree with the KNN exactly."""
+    import dataclasses
+    rng = np.random.RandomState(5)
+    xyz = rng.uniform(-0.9, 0.9, (300, 3)).astype(np.float32)
+    cfg = tiny_qcfg(NN=0, shell_layered=False, radius_limit_scale=4.0,
+                    prebuild_neighbors=prebuilt, max_d=8192)
+    knn_cfg = dataclasses.replace(cfg, NN=2)
+    meta = grid_meta(cfg)
+    grid = build_grid(jnp.asarray(xyz), jnp.asarray(300, jnp.int32), cfg)
+
+    centers = rng.uniform(-0.8, 0.8, (4, 7, 3)).astype(np.float32)
+    mask = np.ones(centers.shape[:2], bool)
+    pidx, d2 = knn_query(jnp.asarray(centers), jnp.asarray(mask),
+                         jnp.asarray(xyz), grid, cfg)
+    pidx_knn, _ = knn_query(jnp.asarray(centers), jnp.asarray(mask),
+                            jnp.asarray(xyz), grid, knn_cfg)
+    pidx, pidx_knn = np.asarray(pidx), np.asarray(pidx_knn)
+    r2 = cfg.radius_limit ** 2
+    occ, occ_vids, bucket = oracle_build_grid(
+        xyz, meta.lo, meta.scaled_vsize, meta.vdim, cfg.max_o, cfg.P,
+        cfg.query_size)
+    slot_of = {v: i for i, v in enumerate(occ_vids)}
+    gx, gy, gz = meta.vdim
+    for r in range(4):
+        for s in range(7):
+            # full legal candidate set: in-radius points of bucketed kernel
+            # voxels (the bucket cap P drops points exactly like the CUDA
+            # build)
+            c = ((centers[r, s] - np.asarray(meta.lo))
+                 // np.asarray(meta.scaled_vsize)).astype(int)
+            if prebuilt and not occ[tuple(c)]:
+                # prebuilt tables only cover the dilated occupancy; real
+                # shading points always land there (select_shading_points
+                # filters on it), random test centers need the same filter
+                continue
+            legal = set()
+            for ox in (-1, 0, 1):
+                for oy in (-1, 0, 1):
+                    for oz in (-1, 0, 1):
+                        q = c + np.array([ox, oy, oz])
+                        if not (np.all(q >= 0) and np.all(q < meta.vdim)):
+                            continue
+                        v = q[0] * gy * gz + q[1] * gz + q[2]
+                        if v not in slot_of:
+                            continue
+                        for pid in bucket[slot_of[v]][:cfg.P]:
+                            d = float(np.sum((xyz[pid] - centers[r, s]) ** 2))
+                            if r2 == 0 or d <= r2:
+                                legal.add(pid)
+            got = {p for p in pidx[r, s] if p >= 0}
+            assert got <= legal, (r, s, got - legal)
+            assert len(got) == min(len(legal), cfg.K)
+            if len(legal) <= cfg.K:
+                want = {p for p in pidx_knn[r, s] if p >= 0}
+                assert got == want
