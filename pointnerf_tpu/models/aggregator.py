@@ -172,7 +172,9 @@ def init_aggregator_params(key, cfg: AggregatorConfig) -> Dict:
         # feature channels]) but never committed the kernel body — this is
         # the faithful completion of the declared design.
         kw = jax.random.fold_in(key, 7)
-        w_in = 2 * cfg.weight_xyz_freq * 3 + cfg.weight_feat_dim
+        # positional_encoding passes xyz through unchanged at freq<=0
+        pe_dim = 2 * cfg.weight_xyz_freq * 3 if cfg.weight_xyz_freq > 0 else 3
+        w_in = pe_dim + cfg.weight_feat_dim
         params["feat_weight"] = _mlp_init(
             kw, [w_in, w_in // 2, w_in // 2, 1], g, final_gain=g)
     return params

@@ -358,9 +358,8 @@ def render_rays(params: Dict, pc: PointCloud, st: PointCloudStatic,
             float(cfg.render.far_plane), cfg.query,
             jitter=cfg.render.train_jitter if train else 0.0, key=k_coarse,
             gen_name=_effective_gen(cfg), gen_kwargs=generator_kwargs(cfg))
-        out = shade_compacted(params, cfg, pc, grid, sample_loc_w,
-                              sample_mask, batch, st.Rw2c,
-                              compute_dtype=compute_dtype)
+        out = _shade_at(params, pc, st, grid, batch, cfg, sample_loc_w,
+                        sample_mask, prob=prob, compute_dtype=compute_dtype)
     else:
         q: QueryResult = query_points(
             pc.xyz, grid, batch.campos, batch.raydir,
@@ -401,11 +400,15 @@ def render_rays(params: Dict, pc: PointCloud, st: PointCloudStatic,
                     * batch.raydir[:, None, :], -1) / rd2          # [R,SR]
         t = jnp.where(out.ray_valid, t, far)
         # blend weights recomputed from the coarse opacities with the same
-        # exclusive-cumprod transmission as ray_march
+        # exclusive-cumprod transmission AND the configured blend function,
+        # matching ray_march's blend_weight output (the reference feeds
+        # ray_march's blend_func(opacity, acc) into refine, :540)
+        from .ray_march import BLEND_FUNCS
         alpha = out.coarse_point_opacity
         acc = jnp.cumprod(1.0 - alpha + 1e-10, axis=-1)
         acc = jnp.concatenate([jnp.ones_like(acc[:, :1]), acc[:, :-1]], -1)
-        w = jnp.where(out.ray_valid, alpha * acc, 0.0)
+        blend = BLEND_FUNCS[cfg.render.which_blend_func]
+        w = jnp.where(out.ray_valid, blend(alpha, acc), 0.0)
         fine_pos, _seg, mid = refine_ray_generation(
             batch.campos, batch.raydir, cfg.render.fine_sample_num,
             jax.lax.stop_gradient(t), jax.lax.stop_gradient(w),

@@ -119,61 +119,49 @@ class MultiHeadAttention(nn.Module):
         return out, attn
 
 
-class RendererOurs(nn.Module):
+class _RendererBiasMLP(nn.Module):
+    """Shared skip-MLP body of Renderer_ours / Renderer_linear: per-layer
+    feature bias folded multiplicatively (v0) or additively (v2), then a
+    view-dependent color head. Param names match the torch modules so the
+    checkpoint importer covers both variants."""
+    D: int = 8
+    W: int = 256
+    in_ch_pts: int = 63
+    in_ch_views: int = 27
+    skips: Tuple[int, ...] = (4,)
+    bias_mul: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        pts = x[..., :self.in_ch_pts]
+        views = x[..., -self.in_ch_views:]
+        feats = x[..., self.in_ch_pts:-self.in_ch_views]
+        bias = nn.Dense(self.W, name="pts_bias")(feats)
+        h = pts
+        for i in range(self.D):
+            z = nn.Dense(self.W, name=f"pts_linears_{i}")(h)
+            h = nn.relu(z * bias if self.bias_mul else z + bias)
+            if i in self.skips:
+                h = jnp.concatenate([pts, h], axis=-1)
+        alpha = nn.relu(nn.Dense(1, name="alpha_linear")(h))
+        feature = nn.Dense(self.W, name="feature_linear")(h)
+        h = jnp.concatenate([feature, views], axis=-1)
+        h = nn.relu(nn.Dense(self.W // 2, name="views_linears_0")(h))
+        rgb = nn.sigmoid(nn.Dense(3, name="rgb_linear")(h))
+        return jnp.concatenate([rgb, alpha], axis=-1)
+
+
+class RendererOurs(_RendererBiasMLP):
     """net_type v0 (Renderer_ours, models.py:148-227): skip-MLP over PE(pts)
     MULTIPLIED by a per-sample bias from the volume features, view-dependent
     color head."""
-    D: int = 8
-    W: int = 256
-    in_ch_pts: int = 63
-    in_ch_views: int = 27
-    skips: Tuple[int, ...] = (4,)
-
-    @nn.compact
-    def __call__(self, x):
-        pts = x[..., :self.in_ch_pts]
-        views = x[..., -self.in_ch_views:]
-        feats = x[..., self.in_ch_pts:-self.in_ch_views]
-        bias = nn.Dense(self.W, name="pts_bias")(feats)
-        h = pts
-        for i in range(self.D):
-            h = nn.relu(nn.Dense(self.W, name=f"pts_linears_{i}")(h) * bias)
-            if i in self.skips:
-                h = jnp.concatenate([pts, h], axis=-1)
-        alpha = nn.relu(nn.Dense(1, name="alpha_linear")(h))
-        feature = nn.Dense(self.W, name="feature_linear")(h)
-        h = jnp.concatenate([feature, views], axis=-1)
-        h = nn.relu(nn.Dense(self.W // 2, name="views_linears_0")(h))
-        rgb = nn.sigmoid(nn.Dense(3, name="rgb_linear")(h))
-        return jnp.concatenate([rgb, alpha], axis=-1)
+    bias_mul: bool = True
 
 
-class RendererLinear(nn.Module):
+class RendererLinear(_RendererBiasMLP):
     """net_type v2 (Renderer_linear, models.py:467-542): like v0 but the
     feature bias is ADDED (h = lin(h) + bias) — the default net_type."""
-    D: int = 8
-    W: int = 256
-    in_ch_pts: int = 63
-    in_ch_views: int = 27
-    skips: Tuple[int, ...] = (4,)
-
-    @nn.compact
-    def __call__(self, x):
-        pts = x[..., :self.in_ch_pts]
-        views = x[..., -self.in_ch_views:]
-        feats = x[..., self.in_ch_pts:-self.in_ch_views]
-        bias = nn.Dense(self.W, name="pts_bias")(feats)
-        h = pts
-        for i in range(self.D):
-            h = nn.relu(nn.Dense(self.W, name=f"pts_linears_{i}")(h) + bias)
-            if i in self.skips:
-                h = jnp.concatenate([pts, h], axis=-1)
-        alpha = nn.relu(nn.Dense(1, name="alpha_linear")(h))
-        feature = nn.Dense(self.W, name="feature_linear")(h)
-        h = jnp.concatenate([feature, views], axis=-1)
-        h = nn.relu(nn.Dense(self.W // 2, name="views_linears_0")(h))
-        rgb = nn.sigmoid(nn.Dense(3, name="rgb_linear")(h))
-        return jnp.concatenate([rgb, alpha], axis=-1)
+    bias_mul: bool = False
 
 
 class RendererAttention(nn.Module):
@@ -185,6 +173,7 @@ class RendererAttention(nn.Module):
     W: int = 256
     in_ch_pts: int = 63
     in_ch_views: int = 27
+    n_views: int = 3
 
     @nn.compact
     def __call__(self, x):
@@ -193,7 +182,17 @@ class RendererAttention(nn.Module):
         views = x[..., -self.in_ch_views:]
         feats = x[..., self.in_ch_pts:-self.in_ch_views]
         if feats.shape[-1] > 8 + 3:
-            colors_in = feats[..., 8:].reshape(NR * NS, -1, 4)   # [N,3,4]
+            # per-view tokens MUST be rgba (rgb + validity mask): reject the
+            # rgb-only packing loudly instead of misparsing it — with
+            # V=4 rgb-only the reshape below would silently succeed and read
+            # a neighboring view's color as the mask channel
+            if feats.shape[-1] != 8 + 4 * self.n_views:
+                raise ValueError(
+                    f"Renderer_attention expects feats = vol8 + "
+                    f"{self.n_views} rgba view tokens "
+                    f"({8 + 4 * self.n_views} ch; render with "
+                    f"per_view_rgba=True), got {feats.shape[-1]} ch")
+            colors_in = feats[..., 8:].reshape(NR * NS, self.n_views, 4)
             tok = jnp.concatenate(
                 [colors_in,
                  jnp.broadcast_to(feats[..., :8].reshape(NR * NS, 1, 8),
@@ -227,6 +226,7 @@ class RendererColorFusion(nn.Module):
     W: int = 128
     in_ch_pts: int = 63
     in_ch_views: int = 27
+    n_views: int = 3
     skips: Tuple[int, ...] = (4,)
 
     @nn.compact
@@ -235,6 +235,16 @@ class RendererColorFusion(nn.Module):
         pts = x[..., :self.in_ch_pts]
         views = x[..., -self.in_ch_views:]
         feats = x[..., self.in_ch_pts:-self.in_ch_views]
+        if feats.shape[-1] != 8 + 4 * self.n_views:
+            raise ValueError(
+                f"Renderer_color_fusion expects feats = vol8 + "
+                f"{self.n_views} rgba view tokens ({8 + 4 * self.n_views} "
+                f"ch; render with per_view_rgba=True), got "
+                f"{feats.shape[-1]} ch")
+        if self.in_ch_views % self.n_views:
+            raise ValueError(
+                f"in_ch_views={self.in_ch_views} must split across "
+                f"n_views={self.n_views} dir tokens (models.py:285)")
         bias = nn.Dense(self.W, name="pts_bias")(feats)
         h = pts
         for i in range(self.D):
@@ -243,13 +253,13 @@ class RendererColorFusion(nn.Module):
                 h = jnp.concatenate([pts, h], axis=-1)
         alpha = nn.relu(nn.Dense(1, name="alpha_linear")(h))
 
-        vdim = self.in_ch_views // 3
-        views_t = views.reshape(NR * NS, 3, vdim)
-        rgba = feats[..., 8:].reshape(NR * NS, 3, 4)
+        vdim = self.in_ch_views // self.n_views
+        views_t = views.reshape(NR * NS, self.n_views, vdim)
+        rgba = feats[..., 8:].reshape(NR * NS, self.n_views, 4)
         rgb_in = rgba[..., :3]
         feature = nn.relu(nn.Dense(16, name="feature_linear")(h))
         tok = jnp.broadcast_to(feature.reshape(NR * NS, 1, 16),
-                               (NR * NS, 3, 16))
+                               (NR * NS, self.n_views, 16))
         tok = jnp.concatenate([tok, views_t, rgb_in], axis=-1)
         att_dim = 16 + 3 + vdim
         tok, _ = MultiHeadAttention(4, att_dim, 4, 4, name="ray_attention")(
@@ -279,6 +289,7 @@ class ReferenceMVSNeRF(nn.Module):
     W: int = 256
     pos_freqs: int = 10
     dir_freqs: int = 4
+    n_views: int = 3
 
     @nn.compact
     def __call__(self, xyz, viewdirs, feat):
@@ -286,8 +297,10 @@ class ReferenceMVSNeRF(nn.Module):
         d = positional_encoding(viewdirs, self.dir_freqs, ori=True)
         cls = MVSNERF_DECODERS[self.net_type]
         w = 128 if self.net_type == "color_fusion" else self.W
+        kw = ({"n_views": self.n_views}
+              if self.net_type in ("v1", "color_fusion") else {})
         inner = cls(D=self.D, W=w, in_ch_pts=p.shape[-1],
-                    in_ch_views=d.shape[-1], name="nerf")
+                    in_ch_views=d.shape[-1], name="nerf", **kw)
         squeeze = False
         x = jnp.concatenate([p, feat, d], axis=-1)
         if x.ndim == 2:                      # attention variants need [R,S,·]
@@ -324,6 +337,16 @@ def render_mvsnerf(decoder_params, decoder,
     images [V,H,W,3]; raydir [R,3]. Returns (rgb [R,3], depth [R],
     weights [R,S])."""
     V, H, W, _ = images.shape
+    if (isinstance(decoder, ReferenceMVSNeRF)
+            and decoder.net_type in ("v1", "color_fusion")):
+        # the attention decoders consume per-view (rgb, validity) tokens —
+        # rgb-only packing would misparse silently (models.py:444,:296)
+        if not per_view_rgba:
+            raise ValueError(f"net_type={decoder.net_type} requires "
+                             f"per_view_rgba=True")
+        if V != decoder.n_views:
+            raise ValueError(f"net_type={decoder.net_type} built for "
+                             f"{decoder.n_views} views, got {V} images")
     R = raydir.shape[0]
     t = jnp.linspace(0.0, 1.0, n_samples)
     tvals = near * (1 - t) + far * t                     # [S]

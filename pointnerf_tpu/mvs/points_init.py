@@ -128,14 +128,23 @@ def init_mvs_points(model: MvsPointsInit, rng, V: int = 3, H: int = 32,
     return model.init(rng, method=init_all)
 
 
-def load_pretrained_mvsnet(variables, ckpt_path: str):
+def load_pretrained_mvsnet(variables, ckpt_path: str,
+                           model: Optional[MvsPointsInit] = None):
     """Overwrite the MVSNet subtree of an MvsPointsInit variables dict with
     a converted torch checkpoint (the reference's pretrained-init path,
     mvs_points_model.py:38-90). The premlp stays at its fresh init — the
     reference trains it per scene. Build the model with align_corners=False
-    to match the checkpoint's as-run grid_sample semantics."""
+    to match the checkpoint's as-run grid_sample semantics (torch>=1.3
+    default) — pass `model` to have this checked; imported weights evaluated
+    under align_corners=True sample every warped feature at a sub-pixel
+    scale+shift and silently degrade depth quality."""
     from .torch_import import load_mvsnet_checkpoint
 
+    if model is not None and model.align_corners:
+        raise ValueError(
+            "imported torch checkpoints require "
+            "MvsPointsInit(align_corners=False); this model was built with "
+            "align_corners=True")
     conv = load_mvsnet_checkpoint(ckpt_path)
     out = dict(variables)
     out["params"] = dict(variables["params"], mvsnet=conv["params"])

@@ -30,6 +30,17 @@ from ..config import QueryConfig
 from .grid import GridMeta, PointGrid, flat_vid, grid_meta, voxel_coords
 
 
+def _mix_u32(x: jnp.ndarray) -> jnp.ndarray:
+    """lowbias32 integer finalizer: uniform u32 avalanche of a u32 input
+    (used for the NN=0 random-subset keys; uint mults wrap mod 2^32)."""
+    x = jnp.asarray(x, jnp.uint32)
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x7FEB352D)
+    x = x ^ (x >> 15)
+    x = x * jnp.uint32(0x846CA68B)
+    return x ^ (x >> 16)
+
+
 # --------------------------------------------------------------------------
 # Ray generation (models/rendering/diff_ray_marching.py:349-393, 201-249)
 # --------------------------------------------------------------------------
@@ -102,6 +113,12 @@ def near_middle_far_ray_generation(campos, raydir, point_count: int, near, far,
         seg = seg[None, :] * (1.0 + jitter * (u - 0.5))
     else:
         seg = jnp.broadcast_to(seg[None, :], (R, seg.shape[0]))
+    # NOTE: truncating to D segments drops the deepest 1-2 disparity segments
+    # (samples never quite reach `far`) and keeps a zero-length segment at the
+    # linear/disparity junction. This reproduces the reference bit-for-bit —
+    # it builds int(D*s)+int(D*(1-s))+2 boundaries and slices
+    # `segment_length[..., :point_count]` the same way
+    # (diff_ray_marching.py:164-181).
     seg = seg[:, :D]                                         # [R, D]
     end = near + jnp.cumsum(seg, axis=-1)
     end = jnp.concatenate([jnp.full((R, 1), near, jnp.float32), end], axis=-1)
@@ -334,21 +351,25 @@ def _knn_chunk(centers, center_valid, xyz, grid, meta, cfg: QueryConfig):
         # first K then reservoir-samples the rest (query_point_indices.py
         # :416-492, Algorithm R), which is exactly a uniform K-subset. Static
         # equivalent: give every candidate a hash-random key and keep the K
-        # smallest. Keys hash (center voxel, point id) — deterministic per
-        # geometry where the reference reseeds from wall-clock time
-        # (documented deviation; re-jitters every step through ray jitter).
+        # smallest. Keys integer-hash (shading-location bits, point id), so
+        # they are uniform across the full id range and deterministic per
+        # geometry regardless of knn_chunk / compaction layout — where the
+        # reference reseeds from wall-clock time (documented deviation;
+        # re-jitters every step through ray jitter).
         if grid.nbr_xyz is not None:
             pid_flat = grid.nbr_pid[dsc].reshape(C, Q * P)
         else:
             pid_flat = grid.bucket_pnt[slot_c].reshape(C, Q * P)
-        cid = jnp.arange(C, dtype=jnp.float32)[:, None]
-        u = jnp.sin(pid_flat.astype(jnp.float32) * 12.9898
-                    + cid * 78.233) * 43758.5453
-        u = u - jnp.floor(u)
-        keys = jnp.where(cand_ok.reshape(C, Q * P), u, jnp.inf)
+        cbits = jax.lax.bitcast_convert_type(centers, jnp.uint32)  # [C,3]
+        hc = _mix_u32(cbits[:, 0] ^ _mix_u32(cbits[:, 1]
+                                             ^ _mix_u32(cbits[:, 2])))
+        keys = _mix_u32(pid_flat.astype(jnp.uint32) ^ hc[:, None])
+        big = jnp.uint32(0xFFFFFFFF)
+        # >>1 keeps every valid key strictly below the invalid sentinel
+        keys = jnp.where(cand_ok.reshape(C, Q * P), keys >> 1, big)
         k_sorted, pid_sorted, d2_sorted = jax.lax.sort(
             (keys, pid_flat, d2.reshape(C, Q * P)), num_keys=1)
-        ok = jnp.isfinite(k_sorted[:, :K])
+        ok = k_sorted[:, :K] < big
         return (jnp.where(ok, pid_sorted[:, :K], -1).astype(jnp.int32),
                 jnp.where(ok, d2_sorted[:, :K], jnp.inf))
 

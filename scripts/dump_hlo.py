@@ -25,16 +25,6 @@ def main():
     state = create_train_state(jax.random.PRNGKey(0), params, pc, cfg)
     batch = _batch(cfg, n_rays=3600)
 
-    import functools
-    from pointnerf_tpu.train import step as step_mod
-    jitted = step_mod._jitted_step(cfg) if hasattr(step_mod, "_jitted_step") \
-        else None
-    # train_step is a python wrapper; grab the underlying jitted callable by
-    # tracing through one call's lowering
-    traced = jax.jit(
-        functools.partial(train_step, cfg=cfg), donate_argnums=(0,)
-    ) if False else None
-    # simplest: lower the wrapper directly
     lowered = jax.jit(
         lambda s, stat, g, b: train_step(s, stat, g, b, cfg)
     ).lower(state, st, grid, batch)

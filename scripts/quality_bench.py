@@ -79,6 +79,8 @@ def main():
     ap.add_argument("--wh", type=int, default=800)
     ap.add_argument("--pts", type=int, default=200_000)
     ap.add_argument("--test-views", type=int, default=6)
+    ap.add_argument("--test-freq", type=int, default=None,
+                    help="override the eval cadence (default steps//40)")
     ap.add_argument("--run-dir", default=None)
     ap.add_argument("--tiny", action="store_true",
                     help="CPU-runnable smoke: shrink the query budget")
@@ -102,6 +104,9 @@ def main():
                                       test_freq=max(1, args.steps // 3),
                                       prune_iter=max(1, args.steps // 2),
                                       prob_freq=max(2, args.steps // 2 + 1)))
+    if args.test_freq:
+        cfg = cfg.replace(train=dataclasses.replace(cfg.train,
+                                                    test_freq=args.test_freq))
     run_dir = args.run_dir or f"runs/quality_{args.scene}"
 
     train_views = sphere_cameras(args.views, radius=2.4,

@@ -46,6 +46,16 @@ def test_feat_intrp_renders_and_trains():
     assert np.abs(gfeat[:, :8]).max() > 0  # weight channels get gradient
 
 
+def test_feat_intrp_weight_xyz_freq_zero():
+    """weight_xyz_freq=0: positional_encoding passes the 3 dist channels
+    through unchanged, and the weight-MLP input width must follow (was a
+    trace-time dot-shape error)."""
+    cfg = _cfg("feat_intrp", 8, weight_xyz_freq=0)
+    pc, st, params, grid, campos, camrot = setup(cfg)
+    out = render_rays(params, pc, st, grid, make_batch(campos, camrot), cfg)
+    assert np.isfinite(np.asarray(out.coarse_raycolor)).all()
+
+
 def test_gau_intrp_renders():
     cfg = _cfg("gau_intrp", 7)  # 7 gaussian params consumed + 8 payload
     assert kernel_consumed_channels(cfg.agg) == 7

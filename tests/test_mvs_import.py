@@ -138,7 +138,13 @@ def test_ckpt_file_roundtrip(tmp_path):
 
     model = MvsPointsInit(point_features_dim=8, align_corners=False)
     variables = init_mvs_points(model, jax.random.PRNGKey(0))
-    merged = load_pretrained_mvsnet(variables, path)
+    merged = load_pretrained_mvsnet(variables, path, model=model)
+
+    # loader refuses align_corners=True models (grid_sample semantics
+    # mismatch vs the torch checkpoint)
+    bad = MvsPointsInit(point_features_dim=8, align_corners=True)
+    with pytest.raises(ValueError, match="align_corners"):
+        load_pretrained_mvsnet(variables, path, model=bad)
 
     # the mvsnet subtree now equals the converted checkpoint
     conv = convert_mvsnet_state_dict(sd)
