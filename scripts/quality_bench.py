@@ -38,16 +38,24 @@ from pointnerf_tpu.data.procedural import (SCENES, sample_cloud,  # noqa: E402
 from pointnerf_tpu.train.driver import train_scene  # noqa: E402
 
 
-def build_config(xyz, steps: int, rays_side: int = 60):
+def build_config(xyz, steps: int, rays_side: int = 60,
+                 prune_iter: int = -1):
     """Lego-budget config sized to the procedural scene AABB. Cadences scale
     with the step budget relative to the reference's 200k-step schedule
-    (prune every 10001 until 130k, probe every 10001; lego.sh:55-160)."""
+    (probe every 10001; lego.sh:55-160).
+
+    Pruning is DISABLED by default (prune_iter=-1): the procedural cloud is
+    an exact surface sampling with no MVS noise to remove, and a scaled-down
+    schedule prunes thin structures before their per-point confidence has
+    received enough ray hits (the cluster run's sticks vanished at the first
+    prune). The reference makes the same per-scene call — chair, drums,
+    materials, and mic ship with pruning off (presets.py). Pass a positive
+    prune_iter to re-enable."""
     cfg = bench_config()
     r = ranges_from_cloud(xyz)
     span = max(r[3] - r[0], r[4] - r[1], r[5] - r[2])
     v = span / 320.0                       # vox_res=320 like lego.sh:17
     scale = steps / 200_000.0
-    prune_iter = max(500, int(10001 * scale))
     prob_freq = max(501, int(10001 * scale) + 1)
     cam_r = 2.4
     cfg = cfg.replace(
@@ -81,6 +89,10 @@ def main():
     ap.add_argument("--test-views", type=int, default=6)
     ap.add_argument("--test-freq", type=int, default=None,
                     help="override the eval cadence (default steps//40)")
+    ap.add_argument("--prune-iter", type=int, default=-1,
+                    help="prune cadence in steps; <=0 disables (default: "
+                         "off — exact-surface procedural clouds have no "
+                         "noise to prune)")
     ap.add_argument("--run-dir", default=None)
     ap.add_argument("--tiny", action="store_true",
                     help="CPU-runnable smoke: shrink the query budget")
@@ -92,7 +104,7 @@ def main():
     prims = SCENES[args.scene]()
     xyz, color, normals = sample_cloud(prims, args.pts, seed=0)
     wh = (args.wh, args.wh)
-    cfg = build_config(xyz, args.steps)
+    cfg = build_config(xyz, args.steps, prune_iter=args.prune_iter)
     if args.tiny:
         cfg = cfg.replace(
             query=dataclasses.replace(
