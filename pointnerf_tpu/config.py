@@ -159,6 +159,9 @@ class RenderConfig:
     which_blend_func: str = "alpha"
     which_tonemap_func: str = "off"
     raydist_mode_unit: int = 1
+    fused_march: bool = False    # route the compositor through the Pallas
+                                 # single-pass kernel (ops/pallas_march.py);
+                                 # requires radiance render + alpha blend
     near_plane: float = 2.0
     far_plane: float = 6.0
     bg_color: Tuple[float, float, float] = (1.0, 1.0, 1.0)

@@ -97,9 +97,26 @@ def _finalize(cfg: PointNeRFConfig, features, ray_valid, weight, conf_coeff,
     if cfg.agg.shading_color_channel_num != 3:
         bg = jnp.zeros((cfg.agg.shading_color_channel_num,), jnp.float32)
 
-    (ray_color, _point_color, opacity, acc_transmission, blend_w,
-     background_transmission, _bg_bw) = ray_march(
-        ray_dist, ray_valid, features, render_func, blend_func, bg)
+    if (cfg.render.fused_march
+            and cfg.render.which_render_func == "radiance"
+            and cfg.render.which_blend_func == "alpha"):
+        # single-pass Pallas compositor: transmission carried in VMEM
+        # registers, no materialized [R,SR,C] point_color / weighted
+        # product (backward recomputes through the XLA path — see
+        # ops/pallas_march.py)
+        from ..ops.pallas_march import pallas_ray_march
+        ray_color, opacity, background_transmission = pallas_ray_march(
+            ray_dist, ray_valid, features, bg)
+        # blend weights only feed the expected-depth reduction below:
+        # cheap [R,SR] elementwise recompute from the kernel's opacity
+        acc = jnp.cumprod(1.0 - opacity + 1e-10, axis=-1)
+        acc = jnp.concatenate([jnp.ones_like(acc[..., :1]),
+                               acc[..., :-1]], -1)
+        blend_w = (opacity * acc)[..., None]
+    else:
+        (ray_color, _point_color, opacity, _acc_transmission, blend_w,
+         background_transmission, _bg_bw) = ray_march(
+            ray_dist, ray_valid, features, render_func, blend_func, bg)
     ray_color = tonemap(ray_color)
 
     # blend-weighted expected depth (perspective z of shading samples) —

@@ -62,3 +62,34 @@ def test_pallas_march_grad_matches_xla(monkeypatch):
     g2 = jax.grad(loss_xla)(jnp.asarray(feats))
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_fused_march_renderer_parity(monkeypatch):
+    """render.fused_march=True routes _finalize through the Pallas
+    compositor; full renderer outputs must match the XLA path (interpret
+    mode on CPU)."""
+    import dataclasses
+    import jax.experimental.pallas as pl
+    orig = pl.pallas_call
+    monkeypatch.setattr(pl, "pallas_call",
+                        lambda *a, **k: orig(*a, interpret=True, **k))
+    from pointnerf_tpu.models.renderer import render_rays
+    from test_render import make_batch, setup
+    from pointnerf_tpu.config import tiny_test_config
+
+    cfg = tiny_test_config()
+    pc, st, params, grid, campos, camrot = setup(cfg)
+    batch = make_batch(campos, camrot)
+    out_ref = render_rays(params, pc, st, grid, batch, cfg)
+    cfg_f = cfg.replace(render=dataclasses.replace(cfg.render,
+                                                   fused_march=True))
+    out_fused = render_rays(params, pc, st, grid, batch, cfg_f)
+    np.testing.assert_allclose(np.asarray(out_fused.coarse_raycolor),
+                               np.asarray(out_ref.coarse_raycolor),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out_fused.coarse_depth),
+                               np.asarray(out_ref.coarse_depth),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out_fused.coarse_is_background),
+                               np.asarray(out_ref.coarse_is_background),
+                               rtol=1e-5, atol=1e-6)
