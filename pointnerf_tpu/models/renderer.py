@@ -84,7 +84,7 @@ def compute_ray_dist(sample_loc_pers, ray_valid, vsize_z: float,
 
 def _finalize(cfg: PointNeRFConfig, features, ray_valid, weight, conf_coeff,
               sample_loc, sample_loc_w, ray_mask,
-              decode_dropped=None) -> RenderOutput:
+              decode_dropped=None, train: bool = False) -> RenderOutput:
     """March + tonemap + output assembly over per-(ray, sample) decoded
     features [R, SR, 1+C] (shared by the dense and compacted decode paths)."""
     ray_dist = compute_ray_dist(sample_loc, ray_valid,
@@ -97,9 +97,17 @@ def _finalize(cfg: PointNeRFConfig, features, ray_valid, weight, conf_coeff,
     if cfg.agg.shading_color_channel_num != 3:
         bg = jnp.zeros((cfg.agg.shading_color_channel_num,), jnp.float32)
 
-    if (cfg.render.fused_march
-            and cfg.render.which_render_func == "radiance"
-            and cfg.render.which_blend_func == "alpha"):
+    # The fused compositor accelerates INFERENCE only: its custom_vjp
+    # backward recomputes through the XLA path, so under a grad trace the
+    # kernel would be pure overhead — training steps take the XLA march.
+    if cfg.render.fused_march and not train:
+        if (cfg.render.which_render_func != "radiance"
+                or cfg.render.which_blend_func != "alpha"):
+            raise ValueError(
+                "render.fused_march supports only which_render_func="
+                "'radiance' + which_blend_func='alpha'; got "
+                f"{cfg.render.which_render_func!r}/"
+                f"{cfg.render.which_blend_func!r}")
         # single-pass Pallas compositor: transmission carried in VMEM
         # registers, no materialized [R,SR,C] point_color / weighted
         # product (backward recomputes through the XLA path — see
@@ -142,7 +150,7 @@ def _finalize(cfg: PointNeRFConfig, features, ray_valid, weight, conf_coeff,
 
 def shade(params: Dict, cfg: PointNeRFConfig, sp, sample_loc, sample_loc_w,
           sample_ray_dirs, Rw2c, prob: bool = False,
-          compute_dtype=jnp.float32) -> RenderOutput:
+          compute_dtype=jnp.float32, train: bool = False) -> RenderOutput:
     """Post-gather pipeline: aggregate -> ray_dist -> march -> tonemap.
 
     Shared by the single-chip path (render_rays) and the point-sharded path
@@ -162,7 +170,8 @@ def shade(params: Dict, cfg: PointNeRFConfig, sp, sample_loc, sample_loc_w,
 
     ray_mask = jnp.any(sp.mask.reshape(sp.mask.shape[0], -1), axis=-1)
     out = _finalize(cfg, agg.features, agg.ray_valid, agg.weight,
-                    agg.conf_coefficient, sample_loc, sample_loc_w, ray_mask)
+                    agg.conf_coefficient, sample_loc, sample_loc_w, ray_mask,
+                    train=train)
 
     if prob:
         # probe outputs used by point growing (_ori.py:351-372)
@@ -259,7 +268,8 @@ def conf_coeff_fill(cfg: PointNeRFConfig, pc: PointCloud):
 def shade_compacted(params: Dict, cfg: PointNeRFConfig, pc: PointCloud,
                     grid, sample_loc_w, sample_mask,
                     batch: RayBatch, Rw2c,
-                    compute_dtype=jnp.float32) -> RenderOutput:
+                    compute_dtype=jnp.float32,
+                    train: bool = False) -> RenderOutput:
     """Static-capacity compacted KNN + decode (QueryConfig.decode_capacity).
 
     The reference compacts valid (ray, sample) slots dynamically with boolean
@@ -322,12 +332,14 @@ def shade_compacted(params: Dict, cfg: PointNeRFConfig, pc: PointCloud,
     ray_mask = jnp.any(final_mask, axis=-1)
     return _finalize(cfg, features, ray_valid, weight, conf_coeff,
                      sample_loc, sample_loc_w, ray_mask,
-                     decode_dropped=n_valid - jnp.sum(sel.astype(jnp.int32)))
+                     decode_dropped=n_valid - jnp.sum(sel.astype(jnp.int32)),
+                     train=train)
 
 
 def _shade_at(params, pc: PointCloud, st: PointCloudStatic, grid,
               batch: RayBatch, cfg: PointNeRFConfig, sample_loc_w,
-              sample_mask, prob: bool, compute_dtype) -> RenderOutput:
+              sample_mask, prob: bool, compute_dtype,
+              train: bool = False) -> RenderOutput:
     """KNN + gather + shade at explicit world shading locations (shared by
     the occupancy-selected coarse pass and the importance-resampled fine
     pass)."""
@@ -335,7 +347,7 @@ def _shade_at(params, pc: PointCloud, st: PointCloudStatic, grid,
     if cfg.query.decode_capacity > 0 and not prob:
         return shade_compacted(params, cfg, pc, grid, sample_loc_w,
                                sample_mask, batch, st.Rw2c,
-                               compute_dtype=compute_dtype)
+                               compute_dtype=compute_dtype, train=train)
     sample_pidx, _d2 = knn_query(sample_loc_w, sample_mask, pc.xyz, grid,
                                  cfg.query)
     pnt_mask = sample_pidx >= 0
@@ -352,7 +364,7 @@ def _shade_at(params, pc: PointCloud, st: PointCloudStatic, grid,
     if Rw2c.ndim == 3:
         Rw2c = Rw2c[jnp.maximum(sample_pidx, 0)]
     return shade(params, cfg, sp, sample_loc, sample_loc_w, sample_ray_dirs,
-                 Rw2c, prob=prob, compute_dtype=compute_dtype)
+                 Rw2c, prob=prob, compute_dtype=compute_dtype, train=train)
 
 
 def render_rays(params: Dict, pc: PointCloud, st: PointCloudStatic,
@@ -376,7 +388,8 @@ def render_rays(params: Dict, pc: PointCloud, st: PointCloudStatic,
             jitter=cfg.render.train_jitter if train else 0.0, key=k_coarse,
             gen_name=_effective_gen(cfg), gen_kwargs=generator_kwargs(cfg))
         out = _shade_at(params, pc, st, grid, batch, cfg, sample_loc_w,
-                        sample_mask, prob=prob, compute_dtype=compute_dtype)
+                        sample_mask, prob=prob, compute_dtype=compute_dtype,
+                        train=train)
     else:
         q: QueryResult = query_points(
             pc.xyz, grid, batch.campos, batch.raydir,
@@ -400,7 +413,7 @@ def render_rays(params: Dict, pc: PointCloud, st: PointCloudStatic,
             Rw2c = Rw2c[jnp.maximum(q.sample_pidx, 0)]      # [R,SR,K,3,3]
         out = shade(params, cfg, sp, sample_loc, q.sample_loc_w,
                     sample_ray_dirs, Rw2c, prob=prob,
-                    compute_dtype=compute_dtype)
+                    compute_dtype=compute_dtype, train=train)
 
     if cfg.render.fine_sample_num > 0:
         # Hierarchical refinement (refine_ray_generation,
@@ -433,6 +446,6 @@ def render_rays(params: Dict, pc: PointCloud, st: PointCloudStatic,
         fine_mask = jnp.broadcast_to(out.ray_mask[:, None], mid.shape)
         fine_out = _shade_at(params, pc, st, grid, batch, cfg, fine_pos,
                              fine_mask, prob=False,
-                             compute_dtype=compute_dtype)
+                             compute_dtype=compute_dtype, train=train)
         out = out._replace(fine_raycolor=fine_out.coarse_raycolor)
     return out

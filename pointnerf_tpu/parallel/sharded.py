@@ -206,7 +206,7 @@ def _render_local(mlp_params, pc_local: PointCloud, scene_local: PointGrid,
         # that shard's dense [rs, SR] frame.
         return _render_local_compact(
             mlp_params, pc_local, scene_local, Rw2c, batch, cfg,
-            sample_loc_w, sample_mask, mp, compute_dtype)
+            sample_loc_w, sample_mask, mp, compute_dtype, train=train)
 
     # 3. Local KNN (per-shard grid + points) over the full local ray set.
     pidx, d2 = knn_query(sample_loc_w, sample_mask, pc_local.xyz,
@@ -258,13 +258,14 @@ def _render_local(mlp_params, pc_local: PointCloud, scene_local: PointGrid,
     ray_dirs = jnp.broadcast_to(raydir_b[:, None, :], loc_w.shape)
 
     out = shade(mlp_params, cfg, merged, sample_loc, loc_w, ray_dirs, Rw2c,
-                prob=prob, compute_dtype=compute_dtype)
+                prob=prob, compute_dtype=compute_dtype, train=train)
     return out, gt_b
 
 
 def _render_local_compact(mlp_params, pc_local: PointCloud, grid, Rw2c,
                           batch: RayBatch, cfg: PointNeRFConfig,
-                          sample_loc_w, sample_mask, mp: int, compute_dtype
+                          sample_loc_w, sample_mask, mp: int, compute_dtype,
+                          train: bool = False
                           ) -> Tuple[RenderOutput, jnp.ndarray]:
     """Compacted sharded shading (see _render_local): per-ray-block static
     compaction -> local KNN on compact slots -> all_to_all merge -> decode ->
@@ -353,7 +354,8 @@ def _render_local_compact(mlp_params, pc_local: PointCloud, grid, Rw2c,
     ray_mask = jnp.any(final_mask, axis=-1)
     out = _finalize(cfg, features, ray_valid, weight, conf_coeff,
                     sample_loc, loc_w_blk, ray_mask,
-                    decode_dropped=nv_my - jnp.sum(sel_my.astype(jnp.int32)))
+                    decode_dropped=nv_my - jnp.sum(sel_my.astype(jnp.int32)),
+                    train=train)
     return out, gt_b
 
 

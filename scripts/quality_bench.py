@@ -1,8 +1,9 @@
 """Quality benchmark: time-to-PSNR on the procedural multi-object scenes.
 
 Trains the per-scene pipeline at the reference lego budget (3,600 rays/iter,
-D=400 -> SR=80 -> K=8, prune+grow cadence scaled from dev_scripts/w_n360/
-lego.sh:55-160) on a procedural scene with analytic 800x800 GT
+D=400 -> SR=80 -> K=8, probe-grow cadence scaled from dev_scripts/w_n360/
+lego.sh:55-160; pruning OFF by default — see build_config) on a procedural
+scene with analytic 800x800 GT
 (pointnerf_tpu/data/procedural.py) and records the wall-clock-to-PSNR curve
 on held-out views (BASELINE.json north star: time-to-PSNR-30 on lego;
 VERDICT r1 next #4).
