@@ -28,13 +28,15 @@ from pointnerf_tpu.models.renderer import render_rays  # noqa: E402
 
 
 def time_arm(cfg, params, pc, st, grid, batch, iters: int):
-    fn = jax.jit(lambda p, b: render_rays(p, pc, st, grid, b, cfg,
-                                          train=False).coarse_raycolor)
-    out = fn(params, batch)
+    # pc/grid MUST be jit arguments: closed-over arrays inline as HLO
+    # constants and the remote compile service rejects the upload (413)
+    fn = jax.jit(lambda p, pc_, grid_, b: render_rays(
+        p, pc_, st, grid_, b, cfg, train=False).coarse_raycolor)
+    out = fn(params, pc, grid, batch)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fn(params, batch)
+        out = fn(params, pc, grid, batch)
     jax.block_until_ready(out)
     return (time.perf_counter() - t0) / iters
 
