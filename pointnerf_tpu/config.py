@@ -241,6 +241,21 @@ class TrainConfig:
     # compositing, and losses stay f32; only the big masked matmuls run in
     # bf16 (TPU-native mixed precision — no reference analog).
     compute_dtype: str = "f32"
+    # --- per-point gradient-starvation levers (no reference analog; the
+    # reference's global prune_thresh conflates "misplaced" with
+    # "under-trained" points — PERF.md cluster failure analysis) -----------
+    # Max per-point UPDATE boost for under-hit payloads: points whose EMA
+    # neighbor-hit rate is below the active mean get their Adam updates
+    # (features/color/dirs/conf — not xyz) scaled by
+    # clip((mean/ema)**hit_boost_pow, 1, hit_lr_boost). <=1 disables.
+    hit_lr_boost: float = 0.0
+    hit_boost_pow: float = 0.5
+    # per-step EMA decay of the per-point hit counters
+    hit_ema_decay: float = 0.999
+    # prune eligibility floor: points with fewer than this many CUMULATIVE
+    # neighbor hits are exempt from confidence pruning (under-trained, not
+    # misplaced). 0 restores reference behavior (prune on conf alone).
+    prune_min_hits: float = 0.0
 
 
 @dataclass(frozen=True)
@@ -342,7 +357,8 @@ def jit_canonical(cfg: PointNeRFConfig) -> PointNeRFConfig:
             cfg.train, maximum_step=0, prune_iter=0, prune_max_iter=0,
             prune_thresh=0.0, prob_freq=0, prob_num_step=0, prob_thresh=0.0,
             prob_mul=0.0, save_iter_freq=0, test_freq=0, print_freq=0,
-            seed=0, random_sample="", random_sample_size=0, batch_size=0),
+            seed=0, random_sample="", random_sample_size=0, batch_size=0,
+            prune_min_hits=0.0),
         data=DataConfig())
 
 

@@ -371,13 +371,19 @@ def sphere_cameras(n_views: int, radius: float = 2.4, focal: float = 875.0,
 
 def view_item(prims: List, campos, camrot, K, wh: Tuple[int, int],
               n_rays: Optional[int] = None, seed: int = 0,
-              view_id: Optional[int] = None) -> Dict:
+              view_id: Optional[int] = None,
+              pixels: Optional[np.ndarray] = None) -> Dict:
     """Sample pixels of one view with analytic GT (item-dict shape matches
-    data/synthetic.view_ray_batch / the reference item keys)."""
+    data/synthetic.view_ray_batch / the reference item keys).
+
+    pixels: explicit [n, 2] (x, y) pixel selection (e.g. from
+    train/sampler.ErrorMapSampler); overrides the uniform n_rays draw."""
     from ..camera import get_dtu_raydir
     W, H = wh
     rng = np.random.RandomState(seed)
-    if n_rays is None:
+    if pixels is not None:
+        pix = np.asarray(pixels, np.float32)
+    elif n_rays is None:
         u, v = np.meshgrid(np.arange(W), np.arange(H))
         pix = np.stack([u.ravel(), v.ravel()], axis=-1).astype(np.float32)
     else:

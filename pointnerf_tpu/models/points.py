@@ -137,14 +137,22 @@ def gather_points(pc: PointCloud, xyz_pers: jnp.ndarray,
 
 
 def prune(pc: PointCloud, st: PointCloudStatic, thresh: float,
-          return_order: bool = False):
+          return_order: bool = False,
+          protect: Optional[jnp.ndarray] = None):
     """Drop points with conf <= thresh (NeuralPoints.prune, :350-373), packing
     survivors to the front of the same capacity bucket. Returns new
     (pc, st, kept_count[, pack_order]) — the pack order lets callers permute
     per-point optimizer moments along with the points (the reference instead
-    rebuilds its optimizers, losing all Adam state)."""
+    rebuilds its optimizers, losing all Adam state).
+
+    protect: optional [capacity] bool — points exempt from the confidence
+    test (TrainConfig.prune_min_hits: under-hit points are under-TRAINED,
+    not misplaced; the reference's global threshold deletes thin geometry
+    on scaled-down schedules — PERF.md cluster failure analysis)."""
     n = pc.capacity
     alive = (jnp.arange(n) < st.num_active) & (pc.conf[:, 0] > thresh)
+    if protect is not None:
+        alive = alive | ((jnp.arange(n) < st.num_active) & protect)
     order = jnp.argsort(~alive, stable=True)  # survivors first, stable
     kept = jnp.sum(alive.astype(jnp.int32))
 

@@ -53,6 +53,11 @@ class RenderOutput(NamedTuple):
     # valid sample slots dropped by the static-capacity compacted decode
     # (QueryConfig.decode_capacity); None on the dense path
     decode_dropped: Optional[jnp.ndarray] = None  # [] int32
+    # neighbor point ids of the coarse decode (-1 invalid; [C,K] on the
+    # compacted path, [R,SR,K] dense) — feeds the per-point hit counters
+    # (TrainConfig.hit_lr_boost / prune_min_hits). None on the sharded path
+    # (ids are shard-local there).
+    neighbor_pidx: Optional[jnp.ndarray] = None
     # prob-mode probe outputs for point growing (_ori.py:351-383)
     ray_max_shading_opacity: Optional[jnp.ndarray] = None  # [R, 1]
     ray_max_sample_loc_w: Optional[jnp.ndarray] = None     # [R, 3]
@@ -64,6 +69,8 @@ class RenderOutput(NamedTuple):
     # hierarchical refinement output (fine_sample_num > 0): second pass over
     # importance-resampled shading points (refine_ray_generation semantics)
     fine_raycolor: Optional[jnp.ndarray] = None            # [R, C]
+    # neighbor ids of the fine decode (same convention as neighbor_pidx)
+    fine_neighbor_pidx: Optional[jnp.ndarray] = None
 
 
 def compute_ray_dist(sample_loc_pers, ray_valid, vsize_z: float,
@@ -330,10 +337,11 @@ def shade_compacted(params: Dict, cfg: PointNeRFConfig, pc: PointCloud,
     sample_loc = w2pers(sample_loc_w, batch.camrotc2w, batch.campos)
     sample_loc = jnp.where(final_mask[..., None], sample_loc, 0.0)
     ray_mask = jnp.any(final_mask, axis=-1)
-    return _finalize(cfg, features, ray_valid, weight, conf_coeff,
-                     sample_loc, sample_loc_w, ray_mask,
-                     decode_dropped=n_valid - jnp.sum(sel.astype(jnp.int32)),
-                     train=train)
+    out = _finalize(cfg, features, ray_valid, weight, conf_coeff,
+                    sample_loc, sample_loc_w, ray_mask,
+                    decode_dropped=n_valid - jnp.sum(sel.astype(jnp.int32)),
+                    train=train)
+    return out._replace(neighbor_pidx=cpidx[:, 0])
 
 
 def _shade_at(params, pc: PointCloud, st: PointCloudStatic, grid,
@@ -363,8 +371,9 @@ def _shade_at(params, pc: PointCloud, st: PointCloudStatic, grid,
     Rw2c = st.Rw2c
     if Rw2c.ndim == 3:
         Rw2c = Rw2c[jnp.maximum(sample_pidx, 0)]
-    return shade(params, cfg, sp, sample_loc, sample_loc_w, sample_ray_dirs,
-                 Rw2c, prob=prob, compute_dtype=compute_dtype, train=train)
+    out = shade(params, cfg, sp, sample_loc, sample_loc_w, sample_ray_dirs,
+                Rw2c, prob=prob, compute_dtype=compute_dtype, train=train)
+    return out._replace(neighbor_pidx=sample_pidx)
 
 
 def render_rays(params: Dict, pc: PointCloud, st: PointCloudStatic,
@@ -414,6 +423,7 @@ def render_rays(params: Dict, pc: PointCloud, st: PointCloudStatic,
         out = shade(params, cfg, sp, sample_loc, q.sample_loc_w,
                     sample_ray_dirs, Rw2c, prob=prob,
                     compute_dtype=compute_dtype, train=train)
+        out = out._replace(neighbor_pidx=q.sample_pidx)
 
     if cfg.render.fine_sample_num > 0:
         # Hierarchical refinement (refine_ray_generation,
@@ -447,5 +457,6 @@ def render_rays(params: Dict, pc: PointCloud, st: PointCloudStatic,
         fine_out = _shade_at(params, pc, st, grid, batch, cfg, fine_pos,
                              fine_mask, prob=False,
                              compute_dtype=compute_dtype, train=train)
-        out = out._replace(fine_raycolor=fine_out.coarse_raycolor)
+        out = out._replace(fine_raycolor=fine_out.coarse_raycolor,
+                           fine_neighbor_pidx=fine_out.neighbor_pidx)
     return out

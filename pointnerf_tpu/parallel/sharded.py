@@ -120,6 +120,88 @@ def partition_points(xyz: np.ndarray, key, cfg: PointNeRFConfig, mp: int,
     return pc, jnp.asarray(counts, jnp.int32)
 
 
+def partition_points_multiseq(clouds, key, cfg: PointNeRFConfig, mp: int,
+                              capacity_per_shard: Optional[int] = None):
+    """Partition a MULTI-SEQUENCE scene (one point cloud per sequence —
+    the fork's per-sequence waymo clouds, train_ddp.py:720-740) onto the mp
+    point axis.
+
+    clouds: list of per-sequence dicts with "xyz" and optional
+    "color"/"dirs"/"feature"/"conf" arrays (data/waymo.WaymoDataset
+    load_init_points output).
+
+    Mapping: with mp >= n_seq, shards are split among sequences
+    proportionally to point count (each sequence at least one shard) and
+    each sequence round-robins its points across its shard group — locality
+    is per-sequence, like the fork holding sequence s's cloud on the DDP
+    ranks that train it. With mp < n_seq, sequence j lands on shard
+    j % mp (concatenated).
+
+    Returns (PointCloud [mp, cap_s, ...], num_active [mp],
+    shard_seq [mp] — owning sequence index per shard, -1 for mixed shards).
+    """
+    n_seq = len(clouds)
+    assert n_seq >= 1 and mp >= 1
+    sizes = [c["xyz"].shape[0] for c in clouds]
+
+    def seq_arrays(j):
+        c = clouds[j]
+        return (np.asarray(c["xyz"], np.float32), c.get("feature"),
+                c.get("color"), c.get("dirs"), c.get("conf"))
+
+    # per-shard (xyz, feature, color, dirs, conf, owner) assembly
+    shard_parts: list = [[] for _ in range(mp)]
+    shard_seq = np.full((mp,), -1, np.int64)
+    if mp >= n_seq:
+        # proportional shard allocation, >= 1 each, summing to mp
+        alloc = np.maximum(1, np.floor(
+            np.asarray(sizes, np.float64) / max(sum(sizes), 1) * mp)
+            .astype(np.int64))
+        while alloc.sum() > mp:
+            alloc[np.argmax(alloc)] -= 1
+        while alloc.sum() < mp:
+            alloc[np.argmin(alloc / np.maximum(np.asarray(sizes), 1))] += 1
+        s0 = 0
+        for j in range(n_seq):
+            group = list(range(s0, s0 + int(alloc[j])))
+            s0 += int(alloc[j])
+            xyz_j, *rest = seq_arrays(j)
+            for gi, s in enumerate(group):
+                sel = np.arange(gi, xyz_j.shape[0], len(group))
+                shard_parts[s].append(
+                    (xyz_j[sel],) + tuple(None if r is None else
+                                          np.asarray(r)[sel] for r in rest))
+                shard_seq[s] = j
+    else:
+        for j in range(n_seq):
+            xyz_j, *rest = seq_arrays(j)
+            s = j % mp
+            shard_parts[s].append(
+                (xyz_j,) + tuple(None if r is None else np.asarray(r)
+                                 for r in rest))
+            shard_seq[s] = j if shard_seq[s] in (-1, j) else -1
+
+    def cat(parts, i):
+        if any(p[i] is None for p in parts):
+            return None
+        return np.concatenate([p[i] for p in parts])
+
+    per = [cat(p, 0) for p in shard_parts]
+    cap = capacity_per_shard or round_capacity(max(x.shape[0] for x in per))
+    keys = jax.random.split(key, mp)
+    shards, counts = [], []
+    for s in range(mp):
+        pc_s, st_s = make_point_cloud(
+            per[s], keys[s], cfg.points, cfg.agg.point_features_dim,
+            features=cat(shard_parts[s], 1), color=cat(shard_parts[s], 2),
+            dirs=cat(shard_parts[s], 3), conf=cat(shard_parts[s], 4),
+            capacity=cap)
+        shards.append(pc_s)
+        counts.append(int(st_s.num_active))
+    pc = jax.tree.map(lambda *xs: jnp.stack(xs), *shards)
+    return pc, jnp.asarray(counts, jnp.int32), shard_seq
+
+
 def build_sharded_scene(pc: PointCloud, num_active: jnp.ndarray,
                         cfg: PointNeRFConfig, mesh: Mesh,
                         Rw2c: Optional[jnp.ndarray] = None) -> ShardedScene:
@@ -468,16 +550,18 @@ def make_sharded_eval_step(cfg: PointNeRFConfig, mesh: Mesh,
 
     # Spec tree must mirror the output: None in the prob-only slots when the
     # probe outputs are disabled (None is an empty subtree on both sides).
-    # fine_raycolor (the last field) is never produced on the sharded path —
-    # _render_local shades once; hierarchical refinement is single-chip only.
+    # fine_raycolor / fine_neighbor_pidx (the last fields) are never produced
+    # on the sharded path — _render_local shades once; hierarchical
+    # refinement is single-chip only. neighbor_pidx is also None here (ids
+    # are shard-local; per-point hit counters live on the single-chip step).
     n_core = 10  # always-present RenderOutput fields
-    # + decode_dropped (None: the sharded path shades dense) before the prob
-    # block, and fine_raycolor (None) last
-    n_prob = len(RenderOutput._fields) - n_core - 2
+    # + decode_dropped (None) + neighbor_pidx (None) before the prob block,
+    # and fine_raycolor + fine_neighbor_pidx (None) last
+    n_prob = len(RenderOutput._fields) - n_core - 4
     out_specs = RenderOutput(*([P(("dp", "mp"))] * n_core),
-                             None,
+                             None, None,
                              *([P(("dp", "mp")) if prob else None] * n_prob),
-                             None)
+                             None, None)
     eval_sm = jax.shard_map(
         device_eval, mesh=mesh,
         in_specs=({"mlp": P(), "points": P("mp")},

@@ -123,11 +123,16 @@ def train_scene(cfg: PointNeRFConfig,
                 resume: bool = False, log_every: Optional[int] = None,
                 target_psnr: Optional[float] = None,
                 features: Optional[np.ndarray] = None,
-                conf: Optional[np.ndarray] = None):
+                conf: Optional[np.ndarray] = None,
+                sampler=None):
     """Optimize one scene. `train_items_fn(step)` yields a ray-batch item.
     `features`/`conf` carry MVS-extracted payloads when available
     (gen_points_filter_embeddings path); otherwise features init per
     cfg.points.feature_init_method.
+
+    `sampler` (train/sampler.ErrorMapSampler, optional): when given, each
+    step's per-ray errors are fed back to it (batched transfers at the log
+    cadence) so `train_items_fn` can importance-sample pixels from it.
 
     Returns (state, st, history dict)."""
     xyz, color, normals = scene_pts
@@ -217,10 +222,15 @@ def train_scene(cfg: PointNeRFConfig,
         if (t.prob_freq > 0 and probe_items
                 and item.get("id") is not None):
             miss_tally.setdefault(item["id"], []).append(items["n_miss"])
+        per_ray_err = items.pop("per_ray_err", None)
+        if sampler is not None and per_ray_err is not None:
+            sampler.record(item.get("id"), item["pixel_idx"], per_ray_err)
         vis.accumulate_losses(
             {k: v for k, v in items.items() if k != "n_miss"})
 
         if step_i % log_every == 0:
+            if sampler is not None:
+                sampler.flush()
             means = vis.print_losses(step_i)
             history["loss"].append((step_i, means.get("loss_total", 0.0)))
         if t.test_freq > 0 and step_i % t.test_freq == 0 and test_items:

@@ -169,14 +169,25 @@ def apply_prune(state: TrainState, st: PointCloudStatic,
                 cfg: PointNeRFConfig) -> Tuple[TrainState, PointCloudStatic, int]:
     """Drop conf <= prune_thresh points, repack, permute Adam moments along
     (no optimizer reset — the post-prune quality dip of the reference's
-    rebuild disappears)."""
+    rebuild disappears). With prune_min_hits > 0, points whose cumulative
+    neighbor-hit count is still below the floor are exempt: their low conf
+    means "under-trained", not "misplaced" (the reference's global threshold
+    deletes thin geometry on scaled-down schedules — PERF.md)."""
+    protect = None
+    if cfg.train.prune_min_hits > 0 and state.hits is not None:
+        protect = state.hits[:, 0] < cfg.train.prune_min_hits
     pc2, st2, kept, order = prune(state.params["points"], st,
-                                  cfg.train.prune_thresh, return_order=True)
+                                  cfg.train.prune_thresh, return_order=True,
+                                  protect=protect)
     params = dict(state.params, points=pc2)
     opt_state = permute_point_opt_state(state.opt_state, order, kept,
                                         pc2.capacity)
+    hits = state.hits
+    if hits is not None:
+        hits = jnp.where((jnp.arange(pc2.capacity) < kept)[:, None],
+                         hits[order], 0.0)
     return (TrainState(params=params, opt_state=opt_state, step=state.step,
-                       key=state.key), st2, int(kept))
+                       key=state.key, hits=hits), st2, int(kept))
 
 
 def pad_point_opt_state(opt_state, old_cap: int, new_cap: int):
@@ -199,6 +210,7 @@ def apply_grow(state: TrainState, st: PointCloudStatic,
     reference's grow-restart which drops all optimizer state."""
     pc: PointCloud = state.params["points"]
     opt_state = state.opt_state
+    hits = state.hits
     n_new = cand.xyz.shape[0]
     needed = int(st.num_active) + n_new
     if needed > pc.capacity:
@@ -213,6 +225,8 @@ def apply_grow(state: TrainState, st: PointCloudStatic,
                         conf=repad(pc.conf, 0.0), color=repad(pc.color, 0.0),
                         dirs=repad(pc.dirs, 0.0))
         opt_state = pad_point_opt_state(opt_state, old_cap, new_cap)
+        if hits is not None:
+            hits = repad(hits, 0.0)  # grown slots start with zero hits
     if n_new:
         pc, st, added = grow(pc, st, jnp.asarray(cand.xyz),
                              jnp.asarray(cand.embedding),
@@ -223,4 +237,4 @@ def apply_grow(state: TrainState, st: PointCloudStatic,
         added = 0
     params = dict(state.params, points=pc)
     return (TrainState(params=params, opt_state=opt_state, step=state.step,
-                       key=state.key), st, added)
+                       key=state.key, hits=hits), st, added)

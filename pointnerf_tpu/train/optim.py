@@ -72,6 +72,25 @@ def freeze_points(pc: PointCloud, cfg: PointsConfig) -> PointCloud:
     )
 
 
+def hit_boost(hit_ema: jnp.ndarray, boost_max: float,
+              pow_: float = 0.5) -> jnp.ndarray:
+    """Per-point update boost for gradient-starved payloads.
+
+    Thin geometry covers few pixels, so its points receive correspondingly
+    few neighbor hits per step and their payloads converge ~hit-rate times
+    slower than broad surfaces (PERF.md thicket analysis). Points whose EMA
+    hit rate sits below the mean over hit-active points get their Adam
+    updates scaled by clip((mean/ema)**pow_, 1, boost_max); never-hit points
+    (ema == 0 — dead slots and fresh grows) stay at 1 (their grads are zero
+    anyway). No reference analog.
+    """
+    active = hit_ema > 1e-8
+    mean_ema = (jnp.sum(jnp.where(active, hit_ema, 0.0))
+                / jnp.maximum(jnp.sum(active.astype(jnp.float32)), 1.0))
+    boost = (mean_ema / jnp.maximum(hit_ema, 1e-8)) ** pow_
+    return jnp.where(active, jnp.clip(boost, 1.0, boost_max), 1.0)
+
+
 def alter_mask(step, alter_step: int):
     """(mlp_active, points_active) for the alternation schedule (_ori.py:214-217)."""
     if alter_step == 0:

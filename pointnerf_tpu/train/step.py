@@ -19,7 +19,7 @@ from ..models.points import PointCloud, PointCloudStatic
 from ..models.renderer import RayBatch, RenderOutput, render_rays
 from ..ops.grid import PointGrid, build_grid
 from .optim import (alternated_update, apply_grad_flags, freeze_points,
-                    make_optimizer)
+                    hit_boost, make_optimizer)
 
 
 class TrainState(NamedTuple):
@@ -27,6 +27,12 @@ class TrainState(NamedTuple):
     opt_state: Any
     step: jnp.ndarray             # [] int32
     key: jnp.ndarray              # PRNG key
+    # per-point neighbor-hit counters [capacity, 2]: column 0 cumulative,
+    # column 1 EMA (TrainConfig.hit_ema_decay). Gradient-starvation levers
+    # (hit_lr_boost, prune_min_hits) read these; prune/grow repack them like
+    # Adam moments. No reference analog — the reference tracks nothing
+    # per-point beyond conf.
+    hits: Optional[jnp.ndarray] = None
 
 
 def create_train_state(key, agg_params, pc: PointCloud,
@@ -34,7 +40,8 @@ def create_train_state(key, agg_params, pc: PointCloud,
     params = {"mlp": agg_params, "points": pc}
     tx = make_optimizer(cfg)
     return TrainState(params=params, opt_state=tx.init(params),
-                      step=jnp.asarray(0, jnp.int32), key=key)
+                      step=jnp.asarray(0, jnp.int32), key=key,
+                      hits=jnp.zeros((pc.capacity, 2), jnp.float32))
 
 
 def loss_fn(params, st: PointCloudStatic, grid: PointGrid, batch: RayBatch,
@@ -60,6 +67,21 @@ def loss_fn(params, st: PointCloudStatic, grid: PointGrid, batch: RayBatch,
         # compacted-decode overflow (valid slots past capacity): should be 0
         # in a healthy run — drivers log it so capacity can be raised
         items["n_decode_dropped"] = out.decode_dropped
+    # per-ray squared error — feeds the loss-aware ray importance sampler
+    # (train/sampler.py; the reference's ray_masked machinery
+    # base_rendering_model.py:542-571 is the analogous per-ray hook)
+    if batch.gt_image is not None:
+        items["per_ray_err"] = jax.lax.stop_gradient(
+            jnp.mean((out.coarse_raycolor - batch.gt_image) ** 2, axis=-1))
+    # per-point neighbor-hit increment for the starvation levers
+    cap = params["points"].capacity
+    inc = jnp.zeros((cap,), jnp.float32)
+    for pidx in (out.neighbor_pidx, out.fine_neighbor_pidx):
+        if pidx is not None:
+            flat = pidx.reshape(-1)
+            inc = inc.at[jnp.where(flat >= 0, flat, cap)].add(
+                1.0, mode="drop")
+    items["hit_inc"] = inc
     return total, items
 
 
@@ -76,10 +98,25 @@ def train_step(state: TrainState, st: PointCloudStatic, grid: PointGrid,
     updates, new_opt = alternated_update(tx, grads, state.opt_state,
                                          state.params, state.step,
                                          cfg.train.alter_step)
+    hit_inc = items.pop("hit_inc")
+    new_hits = state.hits
+    if state.hits is not None:
+        d = cfg.train.hit_ema_decay
+        new_hits = jnp.stack([state.hits[:, 0] + hit_inc,
+                              state.hits[:, 1] * d + hit_inc * (1.0 - d)],
+                             axis=-1)
+        if cfg.train.hit_lr_boost > 1.0:
+            # under-hit payloads move faster (pre-update EMA; see optim.py)
+            boost = hit_boost(state.hits[:, 1], cfg.train.hit_lr_boost,
+                              cfg.train.hit_boost_pow)[:, None]
+            p = updates["points"]
+            updates["points"] = p._replace(
+                features=p.features * boost, color=p.color * boost,
+                dirs=p.dirs * boost, conf=p.conf * boost)
     new_params = optax.apply_updates(state.params, updates)
     items["loss_total"] = total
     return TrainState(params=new_params, opt_state=new_opt,
-                      step=state.step + 1, key=key), items
+                      step=state.step + 1, key=key, hits=new_hits), items
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "prob"))

@@ -40,7 +40,8 @@ from pointnerf_tpu.train.driver import train_scene  # noqa: E402
 
 
 def build_config(xyz, steps: int, rays_side: int = 60,
-                 prune_iter: int = -1):
+                 prune_iter: int = -1, hit_boost: float = 0.0,
+                 prune_min_hits: float = 0.0, fine: int = 0):
     """Lego-budget config sized to the procedural scene AABB. Cadences scale
     with the step budget relative to the reference's 200k-step schedule
     (probe every 10001; lego.sh:55-160).
@@ -68,12 +69,13 @@ def build_config(xyz, steps: int, rays_side: int = 60,
             decode_capacity=0.4),
         render=dataclasses.replace(
             cfg.render, near_plane=cam_r - 0.75 * span,
-            far_plane=cam_r + 0.75 * span),
+            far_plane=cam_r + 0.75 * span, fine_sample_num=fine),
         train=dataclasses.replace(
             cfg.train, maximum_step=steps, random_sample_size=rays_side,
             prune_iter=prune_iter, prune_max_iter=int(steps * 0.65),
             prob_freq=prob_freq, test_freq=max(250, steps // 40),
-            print_freq=200, save_iter_freq=max(1000, steps // 10)),
+            print_freq=200, save_iter_freq=max(1000, steps // 10),
+            hit_lr_boost=hit_boost, prune_min_hits=prune_min_hits),
         parallel=ParallelConfig(remat=False))
     return cfg
 
@@ -94,6 +96,22 @@ def main():
                     help="prune cadence in steps; <=0 disables (default: "
                          "off — exact-surface procedural clouds have no "
                          "noise to prune)")
+    ap.add_argument("--rays-side", type=int, default=60,
+                    help="rays/step = side^2 (60 = the reference lego "
+                         "budget)")
+    ap.add_argument("--importance", type=float, default=0.0,
+                    help="loss-aware ray importance sampling: fraction of "
+                         "each batch drawn from high-error cells "
+                         "(0 disables; 0.5 = half importance half uniform)")
+    ap.add_argument("--hit-boost", type=float, default=0.0,
+                    help="max per-point update boost for under-hit payloads "
+                         "(TrainConfig.hit_lr_boost; <=1 disables)")
+    ap.add_argument("--prune-min-hits", type=float, default=0.0,
+                    help="prune exemption floor on cumulative neighbor hits "
+                         "(TrainConfig.prune_min_hits)")
+    ap.add_argument("--fine", type=int, default=0,
+                    help="hierarchical fine samples per ray "
+                         "(RenderConfig.fine_sample_num; 0 disables)")
     ap.add_argument("--run-dir", default=None)
     ap.add_argument("--tiny", action="store_true",
                     help="CPU-runnable smoke: shrink the query budget")
@@ -105,7 +123,9 @@ def main():
     prims = SCENES[args.scene]()
     xyz, color, normals = sample_cloud(prims, args.pts, seed=0)
     wh = (args.wh, args.wh)
-    cfg = build_config(xyz, args.steps, prune_iter=args.prune_iter)
+    cfg = build_config(xyz, args.steps, rays_side=args.rays_side,
+                       prune_iter=args.prune_iter, hit_boost=args.hit_boost,
+                       prune_min_hits=args.prune_min_hits, fine=args.fine)
     if args.tiny:
         cfg = cfg.replace(
             query=dataclasses.replace(
@@ -131,11 +151,19 @@ def main():
     rng = np.random.RandomState(cfg.train.seed)
     n_rays = cfg.train.random_sample_size ** 2
 
+    sampler = None
+    if args.importance > 0:
+        from pointnerf_tpu.train.sampler import ErrorMapSampler
+        sampler = ErrorMapSampler(len(train_views), wh,
+                                  uniform_frac=1.0 - args.importance)
+
     def train_item(step):
         i = rng.randint(0, len(train_views))
         campos, rot, K = train_views[i]
+        pixels = (sampler.sample_pixels(i, n_rays, rng)
+                  if sampler is not None else None)
         return view_item(prims, campos, rot, K, wh, n_rays=n_rays,
-                         seed=step, view_id=i)
+                         seed=step, view_id=i, pixels=pixels)
 
     print(f"[quality] scene={args.scene} pts={xyz.shape[0]} "
           f"views={args.views}@{args.wh} steps={args.steps} "
@@ -148,12 +176,17 @@ def main():
 
     state, st, hist = train_scene(
         cfg, (xyz, color, normals), train_item, test_items, probe_items, wh,
-        run_dir=run_dir, max_steps=args.steps, target_psnr=args.target)
+        run_dir=run_dir, max_steps=args.steps, target_psnr=args.target,
+        sampler=sampler)
 
     out = {"scene": args.scene, "steps": args.steps, "n_points": int(xyz.shape[0]),
            "views": args.views, "wh": args.wh,
            "eval": hist["eval"],
-           "rays_per_step": n_rays}
+           "rays_per_step": n_rays,
+           "levers": {"importance": args.importance,
+                      "hit_boost": args.hit_boost,
+                      "prune_min_hits": args.prune_min_hits,
+                      "fine": args.fine, "prune_iter": args.prune_iter}}
     path = f"QUALITY_{args.scene}.json"
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
