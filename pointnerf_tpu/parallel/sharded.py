@@ -263,13 +263,17 @@ def _render_local(mlp_params, pc_local: PointCloud, scene_local: PointGrid,
 
     # 1. Ray generation — the key is replicated over mp, so all point shards
     # see identical jittered sample positions for their dp-shard's rays.
+    # Split like render_rays: coarse jitter / fine resample draws.
     from ..config import effective_ray_generator, generator_kwargs
+    k_coarse = k_fine = None
+    if key is not None:
+        k_coarse, k_fine = jax.random.split(key)
     gen = RAY_GENERATORS[effective_ray_generator(cfg)]
     jitter = cfg.render.train_jitter if train else 0.0
     raypos, _seg, _t = gen(batch.campos, batch.raydir, q.z_depth_dim,
                            float(cfg.render.near_plane),
                            float(cfg.render.far_plane),
-                           jitter=jitter, key=key,
+                           jitter=jitter, key=k_coarse,
                            **dict(generator_kwargs(cfg)))
 
     # 2. Shading-point selection against the UNION occupancy.
@@ -286,9 +290,29 @@ def _render_local(mlp_params, pc_local: PointCloud, scene_local: PointGrid,
         # slots (comm volume shrinks by the valid fraction), the merged top-K
         # block lands on its owning shard, and the decode scatters back into
         # that shard's dense [rs, SR] frame.
-        return _render_local_compact(
+        out, gt_b = _render_local_compact(
             mlp_params, pc_local, scene_local, Rw2c, batch, cfg,
             sample_loc_w, sample_mask, mp, compute_dtype, train=train)
+    else:
+        out, gt_b = _shade_blocks_dense(
+            mlp_params, pc_local, scene_local, Rw2c, batch, cfg,
+            sample_loc_w, sample_mask, mp, compute_dtype, train=train,
+            prob=prob)
+    if cfg.render.fine_sample_num > 0 and not prob:
+        out = _fine_local(mlp_params, pc_local, scene_local, Rw2c, batch,
+                          cfg, out, k_fine, mp, compute_dtype, train)
+    return out, gt_b
+
+
+def _shade_blocks_dense(mlp_params, pc_local: PointCloud, scene_local,
+                        Rw2c, batch: RayBatch, cfg: PointNeRFConfig,
+                        sample_loc_w, sample_mask, mp: int, compute_dtype,
+                        train: bool, prob: bool = False
+                        ) -> Tuple[RenderOutput, jnp.ndarray]:
+    """Dense sharded shading from replicated shading locations: local KNN ->
+    all_to_all candidate merge -> this shard shades its own ray block."""
+    q = cfg.query
+    Rl = batch.raydir.shape[0]
 
     # 3. Local KNN (per-shard grid + points) over the full local ray set.
     pidx, d2 = knn_query(sample_loc_w, sample_mask, pc_local.xyz,
@@ -441,6 +465,64 @@ def _render_local_compact(mlp_params, pc_local: PointCloud, grid, Rw2c,
     return out, gt_b
 
 
+def _fine_local(mlp_params, pc_local: PointCloud, grid, Rw2c,
+                batch: RayBatch, cfg: PointNeRFConfig, out: RenderOutput,
+                key, mp: int, compute_dtype, train: bool) -> RenderOutput:
+    """Sharded hierarchical refinement (render_rays' fine pass,
+    models/renderer.py:418-450, distributed).
+
+    The fine shading locations depend on the coarse DECODE (blend weights),
+    which only the owning shard has for its ray block — so each shard
+    importance-resamples its own block, then one tiled all_gather over mp
+    replicates every block's fine positions + masks to all point shards
+    (comm: Rl * D2 * 4 floats per device per direction). From there the flow
+    is exactly the coarse one: local KNN on replicated locations ->
+    all_to_all candidate merge -> the owning shard decodes its block.
+
+    Train-time resample jitter draws per block (rs rays) where the
+    single-chip path draws over the full batch — equivalent in
+    distribution; deterministic eval (no key) is numerically identical.
+    """
+    from ..models.ray_march import BLEND_FUNCS
+    from ..ops.query import refine_ray_generation
+    Rl = batch.raydir.shape[0]
+    rs = Rl // mp
+    my = jax.lax.axis_index("mp") if mp > 1 else 0
+    raydir_b = jax.lax.dynamic_slice_in_dim(batch.raydir, my * rs, rs, 0)
+
+    far = jnp.asarray(cfg.render.far_plane, jnp.float32)
+    rd2 = jnp.sum(raydir_b * raydir_b, -1, keepdims=True)
+    t = jnp.sum((out.sample_loc_w - batch.campos[None, None, :])
+                * raydir_b[:, None, :], -1) / rd2             # [rs, SR]
+    t = jnp.where(out.ray_valid, t, far)
+    alpha = out.coarse_point_opacity
+    acc = jnp.cumprod(1.0 - alpha + 1e-10, axis=-1)
+    acc = jnp.concatenate([jnp.ones_like(acc[:, :1]), acc[:, :-1]], -1)
+    blend = BLEND_FUNCS[cfg.render.which_blend_func]
+    w = jnp.where(out.ray_valid, blend(alpha, acc), 0.0)
+    fine_pos, _seg, mid = refine_ray_generation(
+        batch.campos, raydir_b, cfg.render.fine_sample_num,
+        jax.lax.stop_gradient(t), jax.lax.stop_gradient(w),
+        jitter=cfg.render.train_jitter if train else 0.0, key=key)
+    fine_mask = jnp.broadcast_to(out.ray_mask[:, None], mid.shape)
+
+    if mp > 1:
+        pos_all = jax.lax.all_gather(fine_pos, "mp", tiled=True)
+        mask_all = jax.lax.all_gather(fine_mask, "mp", tiled=True)
+    else:
+        pos_all, mask_all = fine_pos, fine_mask
+
+    if cfg.query.decode_capacity > 0:
+        f_out, _ = _render_local_compact(
+            mlp_params, pc_local, grid, Rw2c, batch, cfg, pos_all, mask_all,
+            mp, compute_dtype, train=train)
+    else:
+        f_out, _ = _shade_blocks_dense(
+            mlp_params, pc_local, grid, Rw2c, batch, cfg, pos_all, mask_all,
+            mp, compute_dtype, train=train)
+    return out._replace(fine_raycolor=f_out.coarse_raycolor)
+
+
 def _squeeze0(tree):
     return jax.tree.map(lambda x: x[0], tree)
 
@@ -464,9 +546,6 @@ def make_sharded_train_step(cfg: PointNeRFConfig, mesh: Mesh):
     [mp, cap_s, ...] sharded over mp (Adam state follows params, sharded by
     construction since optax state mirrors the param pytree)."""
     dp, mp = mesh.shape["dp"], mesh.shape["mp"]
-    assert cfg.render.fine_sample_num == 0, (
-        "hierarchical refinement (fine_sample_num > 0) is single-chip only; "
-        "the sharded step shades once per ray block")
     tx = make_optimizer(cfg)
 
     def device_grads(params, scene: ShardedScene, batch: RayBatch, key):
@@ -550,18 +629,19 @@ def make_sharded_eval_step(cfg: PointNeRFConfig, mesh: Mesh,
 
     # Spec tree must mirror the output: None in the prob-only slots when the
     # probe outputs are disabled (None is an empty subtree on both sides).
-    # fine_raycolor / fine_neighbor_pidx (the last fields) are never produced
-    # on the sharded path — _render_local shades once; hierarchical
-    # refinement is single-chip only. neighbor_pidx is also None here (ids
-    # are shard-local; per-point hit counters live on the single-chip step).
+    # fine_raycolor is ray-sharded when hierarchical refinement is on
+    # (_fine_local), absent otherwise (the prob path shades coarse-only).
+    # neighbor_pidx / fine_neighbor_pidx are always None here (ids are
+    # shard-local; per-point hit counters live on the single-chip step).
     n_core = 10  # always-present RenderOutput fields
+    fine_on = cfg.render.fine_sample_num > 0 and not prob
     # + decode_dropped (None) + neighbor_pidx (None) before the prob block,
-    # and fine_raycolor + fine_neighbor_pidx (None) last
+    # and fine_raycolor + fine_neighbor_pidx last
     n_prob = len(RenderOutput._fields) - n_core - 4
     out_specs = RenderOutput(*([P(("dp", "mp"))] * n_core),
                              None, None,
                              *([P(("dp", "mp")) if prob else None] * n_prob),
-                             None, None)
+                             P(("dp", "mp")) if fine_on else None, None)
     eval_sm = jax.shard_map(
         device_eval, mesh=mesh,
         in_specs=({"mlp": P(), "points": P("mp")},
