@@ -53,6 +53,11 @@ class QueryConfig:
     shell_layered: bool = True
     # chunk size (shading points) for the XLA KNN to bound gather memory
     knn_chunk: int = 65536
+    # Final K-of-candidates selection on the prebuilt-table path:
+    # "sort" = one two-operand lax.sort of the [C, Q*P] block;
+    # "argmin" = K argmin+mask sweeps (~10x less HBM traffic on the
+    # end-to-end roofline; same ascending result). Numerics identical.
+    knn_select: str = "sort"
     # Precompute per-voxel neighbor candidate lists at grid build
     # (ops/grid.py): the query then reads ONE contiguous [Q*P, 3] row per
     # shading point instead of Q small bucket gathers — ~6x faster query on

@@ -299,6 +299,21 @@ def _kernel_offsets(kernel_size: Tuple[int, int, int]) -> np.ndarray:
     return kernel_offsets_layered(kernel_size)
 
 
+def _topk_argmin(d2: jnp.ndarray, pid: jnp.ndarray, K: int):
+    """K smallest (d2, pid) per row via K argmin+mask sweeps (ascending,
+    first-occurrence tie-break — matches the two-operand sort selection).
+    d2 [C, M] f32 with inf for invalid; pid [C, M] i32."""
+    C, M = d2.shape
+    cols = jnp.arange(M, dtype=jnp.int32)[None, :]
+    tp, td = [], []
+    for _ in range(K):
+        i = jnp.argmin(d2, axis=-1)                         # [C]
+        td.append(jnp.take_along_axis(d2, i[:, None], axis=-1)[:, 0])
+        tp.append(jnp.take_along_axis(pid, i[:, None], axis=-1)[:, 0])
+        d2 = jnp.where(cols == i[:, None], jnp.inf, d2)
+    return jnp.stack(tp, axis=-1), jnp.stack(td, axis=-1)
+
+
 def _knn_chunk(centers, center_valid, xyz, grid, meta, cfg: QueryConfig):
     """KNN for a chunk of shading points.
 
@@ -390,13 +405,25 @@ def _knn_chunk(centers, center_valid, xyz, grid, meta, cfg: QueryConfig):
 
     d2_flat = jnp.where(cand_ok, d2, jnp.inf).reshape(C, Q * P)
     if grid.nbr_xyz is not None:
-        # carry pids through ONE two-operand sort instead of top_k + a
-        # separate [C*K]-indexed winner gather (which re-reads the whole
-        # [C, Q*P] pid block; the sort costs ~1/4 of that take on profile)
         pid_flat = grid.nbr_pid[dsc].reshape(C, Q * P)
-        d2_sorted, pid_sorted = jax.lax.sort((d2_flat, pid_flat), num_keys=1)
-        top_d2 = d2_sorted[:, :K]
-        top_pid = pid_sorted[:, :K]
+        if cfg.knn_select == "argmin":
+            # K-pass min-extraction: a full bitonic sort of the [C, Q*P]
+            # candidate block moves ~log2(n)*(log2(n)+1) passes of the whole
+            # array through HBM (~5.4 GB at the lego budget, the largest
+            # single item on the end-to-end roofline); K sequential
+            # argmin+mask sweeps move ~K*2 passes (~0.6 GB) and XLA can keep
+            # the block VMEM-resident across sweeps. Same result: ascending
+            # d2, first-occurrence tie-break.
+            top_pid, top_d2 = _topk_argmin(d2_flat, pid_flat, K)
+        else:
+            # carry pids through ONE two-operand sort instead of top_k + a
+            # separate [C*K]-indexed winner gather (which re-reads the whole
+            # [C, Q*P] pid block; the sort costs ~1/4 of that take on
+            # profile)
+            d2_sorted, pid_sorted = jax.lax.sort((d2_flat, pid_flat),
+                                                 num_keys=1)
+            top_d2 = d2_sorted[:, :K]
+            top_pid = pid_sorted[:, :K]
     else:
         neg, top_i = jax.lax.top_k(-d2_flat, K)           # [C, K]
         top_d2 = -neg

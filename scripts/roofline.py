@@ -67,6 +67,81 @@ def main():
     print(f"\nin_ch={d['in_ch']} b3_in={d['b3_in']} color_in={d['color_in']} "
           f"H={H} rows dense={RS*K:,} compact={C*K:,}")
 
+    end_to_end(cfg)
+
+
+def end_to_end(cfg):
+    """END-TO-END speed-of-light: every train-step stage, not just the
+    decode (VERDICT r2 next #2). Byte counts assume perfect fusion — each
+    logical tensor crosses HBM once per producer/consumer pair; sorts move
+    the array once per bitonic stage (1/2 * log2(n) * (log2(n)+1) stages).
+    """
+    import math
+    from pointnerf_tpu.ops.grid import kernel_offsets_layered
+
+    SR, K, D = cfg.query.SR, cfg.query.K, cfg.query.z_depth_dim
+    F = cfg.agg.point_features_dim
+    RS = R * SR
+    C = decode_slots(cfg, RS)
+    d = block_dims(cfg.agg)
+    H = cfg.agg.shading_feature_num
+    offs, _layer = kernel_offsets_layered(cfg.query.kernel_size)
+    QP = offs.shape[0] * cfg.query.P
+
+    def sort_bytes(rows, width, itemsize):
+        n = 1 << max(1, math.ceil(math.log2(width)))
+        stages = math.log2(n) * (math.log2(n) + 1) / 2
+        return rows * n * itemsize * 2 * stages
+
+    stages = []
+    # 1. ray gen + voxel hash + occupancy gather over [R, D]
+    stages.append(("occupancy mask [R,D]",
+                   0.0, R * D * (4 + 4 + 1 + 4)))  # t, vid, occ, key
+    # 2. shading-slot select: one ascending [R, D] i32 sort
+    stages.append(("slot-select sort [R,D] i32", 0.0,
+                   sort_bytes(R, D, 4)))
+    # 3. compact_select: cumsum + scatter bookkeeping at [RS]
+    stages.append(("compaction bookkeeping [R*SR]", 0.0, RS * 4 * 4))
+    # 4. KNN: neighbor-table row reads + two-operand candidate sort
+    stages.append((f"KNN table reads [C,{QP},3] f32", 0.0, C * QP * 3 * 4))
+    stages.append((f"KNN cand sort [C,{QP}] 2-op f32+i32", 0.0,
+                   sort_bytes(C, QP, 8)))
+    # 5. payload gather fwd + backward scatter-add (f32 master table)
+    payload = C * K * (13 + F) * 4
+    stages.append(("payload gather+bwd scatter", 0.0, 3 * payload))
+    # 6. decode (compacted): MXU matmuls + bf16 activation chain
+    per_row_dims = [d["in_ch"]] + [H] * cfg.agg.shading_feature_mlp_layer1
+    b3_dims = [d["b3_in"]] + [H] * cfg.agg.shading_feature_mlp_layer3
+    per_row = (mlp_flops_per_row(per_row_dims) + mlp_flops_per_row(b3_dims)
+               + mlp_flops_per_row([d["alpha_in"], 1]))
+    half = H // 2
+    color_dims = ([d["color_in"]] + [half]
+                  * (cfg.agg.shading_color_mlp_layer - 1)
+                  + [cfg.agg.shading_color_channel_num])
+    flops = 3 * (C * K * per_row + C * mlp_flops_per_row(color_dims))
+    chain = [d["in_ch"]] + [H] * 4 + [1]
+    act = C * K * sum(a + b for a, b in zip(chain[:-1], chain[1:])) * 2
+    col_chain = [d["color_in"]] + [half] * 3 + [3]
+    act += C * sum(a + b for a, b in zip(col_chain[:-1], col_chain[1:])) * 2
+    stages.append(("decode MLPs (bf16 act, 3x fwd)", flops, 3 * act))
+    # 7. march + loss over [R, SR]
+    stages.append(("march+loss [R,SR]", 0.0, R * SR * 6 * 4))
+    # 8. two-group Adam over point payloads + hit counters
+    n_param = N_POINTS * (3 + F + 1 + 3 + 3)
+    stages.append(("Adam update (p,m,v rw) + hits", 0.0,
+                   n_param * 4 * 7 + C * K * 4 + N_POINTS * 8 * 2))
+
+    total_ms = 0.0
+    print("\n== end-to-end SoL (compacted path, perfect fusion) ==")
+    for name, fl, by in stages:
+        t = max(fl / (V5E_BF16_TFLOPS * 1e12),
+                by / (V5E_HBM_GBPS * 1e9)) * 1e3
+        total_ms += t
+        print(f"  {name:38s} {fl/1e9:8.1f} GFLOP {by/1e6:8.1f} MB "
+              f"-> {t:6.2f} ms")
+    print(f"  {'TOTAL':38s} {'':8s}       {'':8s}    -> {total_ms:6.2f} ms "
+          f"({R/total_ms*1e3:,.0f} rays/s SoL)")
+
 
 if __name__ == "__main__":
     main()

@@ -239,3 +239,38 @@ def test_nn0_random_subset(prebuilt):
             if len(legal) <= cfg.K:
                 want = {p for p in pidx_knn[r, s] if p >= 0}
                 assert got == want
+
+
+def test_knn_select_argmin_matches_sort():
+    """knn_select='argmin' (K min-extraction sweeps) must return exactly the
+    two-operand sort's selection: same pids, same ascending distances."""
+    import dataclasses
+    rng = np.random.RandomState(11)
+    xyz = rng.uniform(-0.9, 0.9, (500, 3)).astype(np.float32)
+    pre = dataclasses.replace(tiny_qcfg(shell_layered=False),
+                              prebuild_neighbors=True, max_d=16384)
+    am = dataclasses.replace(pre, knn_select="argmin")
+    centers = (xyz[rng.randint(0, 500, 48)]
+               + rng.uniform(-0.05, 0.05, (48, 3))).astype(np.float32)
+    centers = centers.reshape(8, 6, 3)
+    mask = np.ones(centers.shape[:2], bool)
+    mask[0, 0] = False
+
+    g = build_grid(jnp.asarray(xyz), jnp.asarray(500, jnp.int32), pre)
+    p0, d0 = knn_query(jnp.asarray(centers), jnp.asarray(mask),
+                       jnp.asarray(xyz), g, pre)
+    p1, d1 = knn_query(jnp.asarray(centers), jnp.asarray(mask),
+                       jnp.asarray(xyz), g, am)
+    np.testing.assert_allclose(np.asarray(d0), np.asarray(d1),
+                               rtol=0, atol=0)
+    # pids equal wherever distances are distinct (ties break by first
+    # occurrence in both, but candidate order is identical anyway)
+    np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
+    # shell_layered path runs through the same final selection
+    sl = dataclasses.replace(am, shell_layered=True)
+    sl0 = dataclasses.replace(pre, shell_layered=True)
+    p2, d2 = knn_query(jnp.asarray(centers), jnp.asarray(mask),
+                       jnp.asarray(xyz), g, sl)
+    p3, d3 = knn_query(jnp.asarray(centers), jnp.asarray(mask),
+                       jnp.asarray(xyz), g, sl0)
+    np.testing.assert_array_equal(np.asarray(p2), np.asarray(p3))
