@@ -41,6 +41,17 @@ ITERS = 20
 
 def main():
     cfg = bench_config()
+    # optional A/B knobs (default bench behavior unchanged):
+    #   BENCH_KNN_SELECT=argmin|sort   BENCH_DECODE_CAPACITY=0.125
+    import dataclasses
+    knob = os.environ.get("BENCH_KNN_SELECT")
+    if knob:
+        cfg = cfg.replace(query=dataclasses.replace(cfg.query,
+                                                    knn_select=knob))
+    knob = os.environ.get("BENCH_DECODE_CAPACITY")
+    if knob:
+        cfg = cfg.replace(query=dataclasses.replace(
+            cfg.query, decode_capacity=float(knob)))
     pc, st, params, grid = _scene_state(cfg, n_pts=N_POINTS)
     state = create_train_state(jax.random.PRNGKey(0), params, pc, cfg)
     batch = _batch(cfg, n_rays=N_RAYS)

@@ -89,9 +89,12 @@ def main():
     ap.add_argument("--views", type=int, default=100)
     ap.add_argument("--wh", type=int, default=800)
     ap.add_argument("--pts", type=int, default=200_000)
-    ap.add_argument("--test-views", type=int, default=6)
+    ap.add_argument("--test-views", type=int, default=16,
+                    help="held-out views per eval (16 = the hardened "
+                         "protocol; 800x800 evals cost ~10s/view on chip)")
     ap.add_argument("--test-freq", type=int, default=None,
-                    help="override the eval cadence (default steps//40)")
+                    help="override the eval cadence (default steps//12 at "
+                         ">=8 test views, steps//40 below)")
     ap.add_argument("--prune-iter", type=int, default=-1,
                     help="prune cadence in steps; <=0 disables (default: "
                          "off — exact-surface procedural clouds have no "
@@ -140,6 +143,10 @@ def main():
     if args.test_freq:
         cfg = cfg.replace(train=dataclasses.replace(cfg.train,
                                                     test_freq=args.test_freq))
+    elif args.test_views >= 8 and not args.tiny:
+        # many-view evals are expensive: fewer, denser checkpoints
+        cfg = cfg.replace(train=dataclasses.replace(
+            cfg.train, test_freq=max(500, args.steps // 12)))
     run_dir = args.run_dir or f"runs/quality_{args.scene}"
 
     train_views = sphere_cameras(args.views, radius=2.4,
