@@ -52,6 +52,10 @@ def main():
     if knob:
         cfg = cfg.replace(query=dataclasses.replace(
             cfg.query, decode_capacity=float(knob)))
+    knob = os.environ.get("BENCH_SLOT_SELECT")
+    if knob:
+        cfg = cfg.replace(query=dataclasses.replace(cfg.query,
+                                                    slot_select=knob))
     pc, st, params, grid = _scene_state(cfg, n_pts=N_POINTS)
     state = create_train_state(jax.random.PRNGKey(0), params, pc, cfg)
     batch = _batch(cfg, n_rays=N_RAYS)

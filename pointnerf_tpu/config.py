@@ -53,6 +53,10 @@ class QueryConfig:
     shell_layered: bool = True
     # chunk size (shading points) for the XLA KNN to bound gather memory
     knn_chunk: int = 65536
+    # Shading-slot selection formulation (ops/query.select_shading_points):
+    # "sort" = one ascending [R, D] i32 sort; "scatter" = cumsum rank +
+    # unique-destination scatter (one linear pass). Identical results.
+    slot_select: str = "sort"
     # Final K-of-candidates selection on the prebuilt-table path:
     # "sort" = one two-operand lax.sort of the [C, Q*P] block;
     # "argmin" = K argmin+mask sweeps (~10x less HBM traffic on the

@@ -251,7 +251,8 @@ class QueryResult(NamedTuple):
 def select_shading_points(raypos: jnp.ndarray, grid: PointGrid, meta: GridMeta,
                           SR: int, tvals: Optional[jnp.ndarray] = None,
                           campos: Optional[jnp.ndarray] = None,
-                          raydir: Optional[jnp.ndarray] = None):
+                          raydir: Optional[jnp.ndarray] = None,
+                          select: str = "sort"):
     """Pick the first SR ray samples that land in occupied (dilated) voxels.
 
     Matches mask_raypos (:390-414) + the cumsum compaction (:664-665) +
@@ -264,16 +265,30 @@ def select_shading_points(raypos: jnp.ndarray, grid: PointGrid, meta: GridMeta,
     occ = grid.vox_occ[jnp.minimum(vid, grid.vox_occ.shape[0] - 1)]
     hit = inb & (occ > 0)                                # [R, D]
 
-    # Sort formulation: key = d for hit samples, D + d for misses; an
-    # ascending per-ray sort packs the hit positions (in depth order) to the
-    # front, and the first SR keys ARE the slot indices. One [R, D] i32 sort
-    # replaces the earlier dense [R, SR, D] comparison-sum, which
-    # materialized a 115M-element intermediate and cost ~11 ms/step at the
-    # lego budget (vmapped searchsorted is worse still — it lowers to a
-    # serial while loop).
+    # Two equivalent formulations pick the first SR hit positions per ray in
+    # depth order (select via QueryConfig.slot_select):
+    #  - "sort": key = d for hits, D + d for misses; one ascending [R, D]
+    #    i32 sort packs hits to the front; the first SR keys ARE the slot
+    #    indices. (Replaced the round-1 dense [R, SR, D] comparison-sum —
+    #    a 115M-element intermediate, ~11 ms/step at the lego budget;
+    #    vmapped searchsorted is worse still, lowering to a serial loop.)
+    #  - "scatter": rank = exclusive cumsum of hits; each hit scatters its
+    #    depth index into dense slot `rank` (unique destinations, misses
+    #    dropped). One linear pass instead of ~log^2(D) bitonic stages.
     d_ar = jnp.arange(D, dtype=jnp.int32)[None, :]
-    key = jnp.where(hit, d_ar, D + d_ar)                 # [R, D]
-    idx = jax.lax.sort(key, dimension=-1)[:, :SR]        # [R, SR]
+    if select == "scatter":
+        rank = jnp.cumsum(hit.astype(jnp.int32), axis=-1) - 1    # [R, D]
+        sel = hit & (rank < SR)
+        # distinct out-of-bounds destinations for dropped lanes
+        dst = jnp.where(sel, rank, SR + d_ar)
+        R_ = raypos.shape[0]
+        idx = jnp.full((R_, SR), D, jnp.int32).at[
+            jnp.arange(R_)[:, None], dst].set(
+                jnp.broadcast_to(d_ar, (R_, D)), mode="drop",
+                unique_indices=True)
+    else:
+        key = jnp.where(hit, d_ar, D + d_ar)             # [R, D]
+        idx = jax.lax.sort(key, dimension=-1)[:, :SR]    # [R, SR]
     sample_mask = idx < D                                # slot exists
     idx = jnp.minimum(idx, D - 1)
     if tvals is not None:
@@ -488,7 +503,8 @@ def generate_shading_points(grid: PointGrid, campos: jnp.ndarray,
                               jitter=jitter, key=key, **dict(gen_kwargs))
     tvals = jnp.broadcast_to(tvals, raypos.shape[:2])
     return select_shading_points(
-        raypos, grid, meta, cfg.SR, tvals=tvals, campos=campos, raydir=raydir)
+        raypos, grid, meta, cfg.SR, tvals=tvals, campos=campos, raydir=raydir,
+        select=cfg.slot_select)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "jitter", "gen_name",

@@ -278,7 +278,7 @@ def _render_local(mlp_params, pc_local: PointCloud, scene_local: PointGrid,
 
     # 2. Shading-point selection against the UNION occupancy.
     sample_loc_w, sample_mask = select_shading_points(
-        raypos, scene_local, meta, q.SR)
+        raypos, scene_local, meta, q.SR, select=q.slot_select)
 
     if q.decode_capacity > 0 and not prob:
         # Static-capacity compaction per ray block (models/renderer.py

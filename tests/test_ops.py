@@ -274,3 +274,28 @@ def test_knn_select_argmin_matches_sort():
     p3, d3 = knn_query(jnp.asarray(centers), jnp.asarray(mask),
                        jnp.asarray(xyz), g, sl0)
     np.testing.assert_array_equal(np.asarray(p2), np.asarray(p3))
+
+
+def test_slot_select_scatter_matches_sort():
+    """slot_select='scatter' must reproduce the sort formulation exactly:
+    first SR occupied-voxel hits per ray, in depth order."""
+    import dataclasses
+    from pointnerf_tpu.ops.grid import grid_meta
+    from pointnerf_tpu.ops.query import select_shading_points
+    rng = np.random.RandomState(3)
+    xyz = rng.uniform(-0.9, 0.9, (300, 3)).astype(np.float32)
+    cfg = tiny_qcfg()
+    g = build_grid(jnp.asarray(xyz), jnp.asarray(300, jnp.int32), cfg)
+    meta = grid_meta(cfg)
+    R, D, SR = 16, 64, 10
+    campos = np.array([0.0, 0.0, -3.0], np.float32)
+    dirs = rng.randn(R, 3).astype(np.float32) * 0.15 + [0, 0, 1]
+    t = np.linspace(2.0, 4.5, D, dtype=np.float32)
+    raypos = campos[None, None] + dirs[:, None, :] * t[None, :, None]
+    loc0, m0 = select_shading_points(jnp.asarray(raypos), g, meta, SR,
+                                     select="sort")
+    loc1, m1 = select_shading_points(jnp.asarray(raypos), g, meta, SR,
+                                     select="scatter")
+    np.testing.assert_array_equal(np.asarray(m0), np.asarray(m1))
+    np.testing.assert_array_equal(np.asarray(loc0), np.asarray(loc1))
+    assert np.asarray(m0).any(), "scene produced no hits; test is vacuous"
