@@ -116,6 +116,9 @@ def main():
                     help="hierarchical fine samples per ray "
                          "(RenderConfig.fine_sample_num; 0 disables)")
     ap.add_argument("--run-dir", default=None)
+    ap.add_argument("--tag", default="",
+                    help="suffix for QUALITY_<scene>_<tag>.json and the "
+                         "default run dir (keeps lever A/Bs separate)")
     ap.add_argument("--tiny", action="store_true",
                     help="CPU-runnable smoke: shrink the query budget")
     ap.add_argument("--platform", default=None)
@@ -147,7 +150,8 @@ def main():
         # many-view evals are expensive: fewer, denser checkpoints
         cfg = cfg.replace(train=dataclasses.replace(
             cfg.train, test_freq=max(500, args.steps // 12)))
-    run_dir = args.run_dir or f"runs/quality_{args.scene}"
+    suffix = f"_{args.tag}" if args.tag else ""
+    run_dir = args.run_dir or f"runs/quality_{args.scene}{suffix}"
 
     train_views = sphere_cameras(args.views, radius=2.4,
                                  focal=875.0 * args.wh / 800.0, wh=wh,
@@ -194,7 +198,7 @@ def main():
                       "hit_boost": args.hit_boost,
                       "prune_min_hits": args.prune_min_hits,
                       "fine": args.fine, "prune_iter": args.prune_iter}}
-    path = f"QUALITY_{args.scene}.json"
+    path = f"QUALITY_{args.scene}{suffix}.json"
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     best = max((e["psnr"] for e in hist["eval"]), default=float("nan"))
