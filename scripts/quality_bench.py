@@ -115,6 +115,9 @@ def main():
     ap.add_argument("--fine", type=int, default=0,
                     help="hierarchical fine samples per ray "
                          "(RenderConfig.fine_sample_num; 0 disables)")
+    ap.add_argument("--feat-dim", type=int, default=0,
+                    help="override point_features_dim (capacity sweep; "
+                         "0 keeps the default)")
     ap.add_argument("--run-dir", default=None)
     ap.add_argument("--tag", default="",
                     help="suffix for QUALITY_<scene>_<tag>.json and the "
@@ -132,6 +135,9 @@ def main():
     cfg = build_config(xyz, args.steps, rays_side=args.rays_side,
                        prune_iter=args.prune_iter, hit_boost=args.hit_boost,
                        prune_min_hits=args.prune_min_hits, fine=args.fine)
+    if args.feat_dim:
+        cfg = cfg.replace(agg=dataclasses.replace(
+            cfg.agg, point_features_dim=args.feat_dim))
     if args.tiny:
         cfg = cfg.replace(
             query=dataclasses.replace(
