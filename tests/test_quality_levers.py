@@ -182,3 +182,47 @@ def test_jit_canonical_zeroes_prune_min_hits_keeps_boost():
     c = jit_canonical(cfg)
     assert c.train.prune_min_hits == 0.0       # prune-time only: not a jit key
     assert c.train.hit_lr_boost == 4.0         # enters the compiled step
+
+
+def test_driver_integration_importance_sampler(tmp_path):
+    """train_scene feeds per-ray errors back to the sampler and the sampler's
+    pixel picks drive the batches (end-to-end on the tiny synthetic scene)."""
+    from pointnerf_tpu.data.synthetic import ring_cameras, view_ray_batch
+    from pointnerf_tpu.data.synthetic import sphere_scene
+    from pointnerf_tpu.train.driver import train_scene
+    from pointnerf_tpu.train.sampler import ErrorMapSampler
+
+    cfg = tiny_test_config()
+    cfg = _train_cfg(cfg, maximum_step=12, prune_iter=0, prob_freq=0,
+                     test_freq=0, print_freq=4, save_iter_freq=12,
+                     random_sample_size=8, hit_lr_boost=4.0)
+    wh = (32, 32)
+    xyz, color, normals = sphere_scene(n_pts=512)
+    views = ring_cameras(n_views=3, wh=wh, focal=float(wh[0]))
+    sampler = ErrorMapSampler(len(views), wh, cell=4, uniform_frac=0.5)
+    rng = np.random.RandomState(0)
+    picks = []
+
+    def train_item(step):
+        i = rng.randint(0, len(views))
+        campos, rot, K = views[i]
+        pix = sampler.sample_pixels(i, 64, rng)
+        picks.append(pix)
+        item = view_ray_batch(campos, rot, K, wh, n_rays=64, seed=step)
+        from pointnerf_tpu.camera import get_dtu_raydir
+        raydir = get_dtu_raydir(pix.astype(np.float32), K, rot,
+                                True).astype(np.float32)
+        from pointnerf_tpu.data.synthetic import sphere_gt_render
+        return {"campos": campos, "camrotc2w": rot, "raydir": raydir,
+                "pixel_idx": pix, "gt_image": sphere_gt_render(campos, raydir),
+                "id": i}
+
+    state, st, hist = train_scene(
+        cfg, (xyz, color, normals), train_item, [], [], wh,
+        run_dir=str(tmp_path / "run"), max_steps=12, sampler=sampler)
+    # per-ray errors were recorded and flushed into the maps: some cells
+    # moved off the optimistic init
+    sampler.flush()
+    assert picks and (sampler.maps != 1.0).any()
+    # hit counters accumulated through the real driver loop
+    assert float(np.asarray(state.hits)[:, 0].sum()) > 0
