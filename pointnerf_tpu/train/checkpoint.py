@@ -55,13 +55,24 @@ def load_checkpoint(path: str, template: TrainState
                     ) -> Tuple[TrainState, Dict[str, Any]]:
     """Restore into the template's tree structure (shapes must match — the
     capacity-bucket design keeps point shapes stable across prune/grow
-    within a bucket)."""
+    within a bucket). Checkpoints written before the per-point hit counters
+    (TrainState.hits) restore with fresh zero counters."""
     import orbax.checkpoint as ocp
     ckptr = ocp.PyTreeCheckpointer()
-    restored = ckptr.restore(os.path.join(path, "state"),
-                             item=jax.tree.map(np.asarray, template))
+    try:
+        restored = ckptr.restore(os.path.join(path, "state"),
+                                 item=jax.tree.map(np.asarray, template))
+    except Exception:
+        # pre-hits on-disk layout: retry without the counters
+        restored = ckptr.restore(os.path.join(path, "state"),
+                                 item=jax.tree.map(
+                                     np.asarray,
+                                     template._replace(hits=None)))
     state = jax.tree.map(jax.numpy.asarray, restored)
     state = TrainState(*state) if not isinstance(restored, TrainState) else state
+    if state.hits is None and template.hits is not None:
+        # counters absent on disk (or dropped by the restore): re-init fresh
+        state = state._replace(hits=jax.numpy.zeros_like(template.hits))
     meta_path = os.path.join(path, "meta.json")
     meta = json.load(open(meta_path)) if os.path.exists(meta_path) else {}
     return state, meta

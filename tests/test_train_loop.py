@@ -177,3 +177,28 @@ def test_scene_presets():
     mic = scene_preset("nerf_synth/mic")
     assert mic.train.random_sample_size == 110
     assert mic.train.prob_freq == -10001     # mic never grows
+
+
+def test_checkpoint_legacy_restore_without_hits(tmp_path):
+    """Checkpoints written before TrainState.hits restore with fresh zero
+    counters instead of failing (round-2 artifacts stay resumable)."""
+    from pointnerf_tpu.config import tiny_test_config
+    from pointnerf_tpu.models.aggregator import init_aggregator_params
+    from pointnerf_tpu.models.points import make_point_cloud
+    from pointnerf_tpu.train.checkpoint import (latest_checkpoint,
+                                                load_checkpoint,
+                                                save_checkpoint)
+    from pointnerf_tpu.train.step import create_train_state
+    cfg = tiny_test_config()
+    xyz, _, _ = sphere_scene(n_pts=128)
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    pc, st = make_point_cloud(xyz, k1, cfg.points, cfg.agg.point_features_dim)
+    state = create_train_state(k3, init_aggregator_params(k2, cfg.agg), pc,
+                               cfg)
+    legacy = state._replace(hits=None)  # pre-hits on-disk layout
+    save_checkpoint(str(tmp_path), legacy, {"num_active": int(st.num_active)})
+    restored, _ = load_checkpoint(latest_checkpoint(str(tmp_path)), state)
+    assert restored.hits is not None
+    assert float(jnp.sum(restored.hits)) == 0.0
+    np.testing.assert_array_equal(np.asarray(restored.params["points"].xyz),
+                                  np.asarray(pc.xyz))
