@@ -60,7 +60,9 @@ class ErrorMapSampler:
             parts.append(np.stack([rng.randint(0, self.W, n_uni),
                                    rng.randint(0, self.H, n_uni)], axis=-1))
         if n_imp:
-            m = self.maps[view]
+            # floor keeps the distribution valid when a view's errors have
+            # decayed to exact zero everywhere
+            m = self.maps[view] + 1e-12
             p = m / m.sum()
             cells = rng.choice(m.shape[0], size=n_imp, p=p)
             cy, cx = cells // self.cw, cells % self.cw
