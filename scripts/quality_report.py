@@ -23,8 +23,11 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def curve_from_json(path):
     with open(path) as f:
         d = json.load(f)
-    return d["scene"], [(e["step"], e["wall_s"], e["psnr"], e.get("ssim"))
-                        for e in d["eval"]]
+    # QUALITY_<scene>[_tag].json — keep the tag so lever A/Bs print apart
+    name = os.path.splitext(os.path.basename(path))[0]
+    name = name[len("QUALITY_"):] if name.startswith("QUALITY_") else name
+    return name, [(e["step"], e["wall_s"], e["psnr"], e.get("ssim"))
+                  for e in d["eval"]]
 
 
 def curve_from_log(path, name):
