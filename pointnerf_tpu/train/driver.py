@@ -103,7 +103,9 @@ def evaluate(params, st, grid, cfg, items: List[Dict], wh, vis: Visualizer,
     W, H = wh
     psnrs, ssims = [], []
     for i, item in enumerate(items):
-        maps = render_full_frame(params, st, grid, cfg, item, wh, prob=False)
+        maps = render_full_frame(params, st, grid, cfg, item, wh,
+                                 chunk=9216 if W * H >= 9216 else 2304,
+                                 prob=False)
         img = maps["coarse_raycolor"][..., :3]
         gt = np.zeros((H, W, 3), np.float32)
         pix = np.asarray(item["pixel_idx"], np.int64)
@@ -238,6 +240,12 @@ def train_scene(cfg: PointNeRFConfig,
                          step_i, save_images=True)
             m["step"] = step_i
             m["wall_s"] = time.time() - t0
+            if state.hits is not None:
+                # cumulative neighbor-hit distribution over active points —
+                # calibrates TrainConfig.prune_min_hits (under-hit floor)
+                h = np.asarray(state.hits[:max(1, int(st.num_active)), 0])
+                m["hits_pct"] = {str(q): round(float(np.percentile(h, q)), 1)
+                                 for q in (1, 5, 25, 50, 90)}
             history["eval"].append(m)
             print(f"[eval] step {step_i}: psnr={m['psnr']:.2f} "
                   f"ssim={m['ssim']:.4f} t={m['wall_s']:.0f}s")
@@ -264,7 +272,9 @@ def render_video(params, st, grid, cfg: PointNeRFConfig, items: List[Dict],
     vis = Visualizer(run_dir, name=name)
     frames = []
     for item in items:
-        maps = render_full_frame(params, st, grid, cfg, item, wh, prob=False)
+        maps = render_full_frame(params, st, grid, cfg, item, wh,
+                                 chunk=9216 if wh[0] * wh[1] >= 9216 else 2304,
+                                 prob=False)
         frames.append(np.clip(maps["coarse_raycolor"][..., :3], 0, 1))
     return vis.gen_video(frames, name=name, fps=fps)
 
@@ -295,8 +305,11 @@ def eval_rays_sharded(eval_fn, params, scene, item: Dict,
             far=jnp.asarray(cfg.render.far_plane, jnp.float32),
             gt_image=None)
         out = eval_fn(params, scene, batch)
-        outs.append(np.asarray(out.coarse_raycolor)[: e - s])
-    return np.concatenate(outs)
+        # keep the device array — one batched transfer below (per-chunk
+        # np.asarray blocks on a tunnel round-trip per chunk, train/grow.py)
+        outs.append((e - s, out.coarse_raycolor))
+    fetched = jax.device_get([o for _, o in outs])
+    return np.concatenate([v[:n] for (n, _), v in zip(outs, fetched)])
 
 
 def probe_hole_sharded(eval_prob_fn, params, scene, cfg: PointNeRFConfig,
@@ -319,6 +332,7 @@ def probe_hole_sharded(eval_prob_fn, params, scene, cfg: PointNeRFConfig,
         pix = np.asarray(item["pixel_idx"], np.int64)
         R = raydir.shape[0]
         maps = {}
+        pending = []
         for s in range(0, R, chunk):
             e = min(s + chunk, R)
             rd = raydir[s:e]
@@ -334,9 +348,13 @@ def probe_hole_sharded(eval_prob_fn, params, scene, cfg: PointNeRFConfig,
                 far=jnp.asarray(cfg.render.far_plane, jnp.float32),
                 gt_image=None)
             out = eval_prob_fn(params, scene, batch)
+            pending.append((s, e, {k: getattr(out, k) for k in keys}))
+        # one batched device->host transfer per frame (see train/grow.py)
+        fetched = jax.device_get([vals for _, _, vals in pending])
+        for (s, e, _), vals in zip(pending, fetched):
             px, py = pix[s:e, 0], pix[s:e, 1]
-            for k in keys:
-                v = np.asarray(getattr(out, k))[: e - s]
+            for k, v in vals.items():
+                v = v[: e - s]
                 if v.ndim == 1:
                     v = v[:, None]
                 if k not in maps:

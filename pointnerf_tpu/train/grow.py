@@ -56,6 +56,18 @@ def render_full_frame(params, st, grid, cfg: PointNeRFConfig, item: Dict,
             "shading_avg_color", "shading_avg_dir", "shading_avg_conf",
             "shading_avg_embedding"] if prob else ["coarse_raycolor",
                                                    "ray_mask"]
+    from ..config import jit_canonical
+    jcfg = jit_canonical(cfg)
+    campos = jnp.asarray(item["campos"])
+    camrot = jnp.asarray(item["camrotc2w"])
+    near = jnp.asarray(cfg.render.near_plane, jnp.float32)
+    far = jnp.asarray(cfg.render.far_plane, jnp.float32)
+    zero_pix = jnp.zeros((chunk, 2), jnp.int32)
+    # Dispatch every chunk asynchronously, keeping ONLY the map fields alive
+    # (the full RenderOutput pins [R,SR,K] intermediates), then materialize
+    # in one batched device_get: per-chunk host syncs round-trip the axon
+    # tunnel for ~200ms each, which dominated eval wall time (PERF.md r3).
+    pending: list = []
     for s in range(0, total, chunk):
         e = min(s + chunk, total)
         rd = raydir[s:e]
@@ -63,23 +75,17 @@ def render_full_frame(params, st, grid, cfg: PointNeRFConfig, item: Dict,
         if pad:
             rd = np.concatenate([rd, np.zeros((pad, 3), np.float32)])
         batch = RayBatch(
-            campos=jnp.asarray(item["campos"]),
-            camrotc2w=jnp.asarray(item["camrotc2w"]),
-            raydir=jnp.asarray(rd),
-            pixel_idx=jnp.zeros((chunk, 2), jnp.int32),
-            near=jnp.asarray(cfg.render.near_plane, jnp.float32),
-            far=jnp.asarray(cfg.render.far_plane, jnp.float32),
-            gt_image=None)
-        from ..config import jit_canonical
-        out = eval_step(params, st, grid, batch, jit_canonical(cfg),
-                        prob=prob)
+            campos=campos, camrotc2w=camrot, raydir=jnp.asarray(rd),
+            pixel_idx=zero_pix, near=near, far=far, gt_image=None)
+        out = eval_step(params, st, grid, batch, jcfg, prob=prob)
+        pending.append((s, e, {k: getattr(out, k) for k in keys
+                               if getattr(out, k) is not None}))
+    fetched = jax.device_get([vals for _, _, vals in pending])
+    for (s, e, _), vals in zip(pending, fetched):
         n = e - s
         px, py = pix[s:e, 0], pix[s:e, 1]
-        for k in keys:
-            v = getattr(out, k)
-            if v is None:
-                continue
-            v = np.asarray(v)[:n]
+        for k, v in vals.items():
+            v = v[:n]
             if v.ndim == 1:
                 v = v[:, None]
             if k not in maps:

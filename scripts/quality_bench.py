@@ -77,6 +77,16 @@ def build_config(xyz, steps: int, rays_side: int = 60,
             print_freq=200, save_iter_freq=max(1000, steps // 10),
             hit_lr_boost=hit_boost, prune_min_hits=prune_min_hits),
         parallel=ParallelConfig(remat=False))
+    # honor the same perf A/B knobs as bench.py so quality runs can ride
+    # whichever selection mode the on-chip A/B picked
+    knob = os.environ.get("BENCH_KNN_SELECT")
+    if knob:
+        cfg = cfg.replace(query=dataclasses.replace(cfg.query,
+                                                    knn_select=knob))
+    knob = os.environ.get("BENCH_SLOT_SELECT")
+    if knob:
+        cfg = cfg.replace(query=dataclasses.replace(cfg.query,
+                                                    slot_select=knob))
     return cfg
 
 
