@@ -103,8 +103,9 @@ def evaluate(params, st, grid, cfg, items: List[Dict], wh, vis: Visualizer,
     W, H = wh
     psnrs, ssims = [], []
     for i, item in enumerate(items):
+        chunk = int(os.environ.get("POINTNERF_EVAL_CHUNK", "9216"))
         maps = render_full_frame(params, st, grid, cfg, item, wh,
-                                 chunk=9216 if W * H >= 9216 else 2304,
+                                 chunk=chunk if W * H >= chunk else 2304,
                                  prob=False)
         img = maps["coarse_raycolor"][..., :3]
         gt = np.zeros((H, W, 3), np.float32)
