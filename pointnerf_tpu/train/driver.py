@@ -98,10 +98,15 @@ def _to_batch(item: Dict, cfg: PointNeRFConfig) -> RayBatch:
 
 
 def evaluate(params, st, grid, cfg, items: List[Dict], wh, vis: Visualizer,
-             step: int, save_images: bool = False) -> Dict[str, float]:
-    """Full-frame test pass (reference test(), run/train_ft.py:255-409)."""
+             step: int, save_images: bool = False,
+             lpips: bool = False) -> Dict[str, float]:
+    """Full-frame test pass (reference test(), run/train_ft.py:255-409).
+    lpips=True adds the framework-relative LPIPS proxy (utils/metrics.py) —
+    ~9s host time per 800x800 view, so drivers enable it on the final eval
+    only (the reference computes LPIPS over the test split once,
+    run/evaluate.py:34-97)."""
     W, H = wh
-    psnrs, ssims = [], []
+    psnrs, ssims, lprox = [], [], []
     for i, item in enumerate(items):
         chunk = int(os.environ.get("POINTNERF_EVAL_CHUNK", "9216"))
         maps = render_full_frame(params, st, grid, cfg, item, wh,
@@ -113,9 +118,15 @@ def evaluate(params, st, grid, cfg, items: List[Dict], wh, vis: Visualizer,
         gt[pix[:, 1], pix[:, 0]] = np.asarray(item["gt_image"], np.float32)
         psnrs.append(psnr_np(img, gt))
         ssims.append(ssim_np(img, gt))
+        if lpips:
+            from ..utils.metrics import lpips_proxy
+            lprox.append(lpips_proxy(img, gt))
         if save_images:
             vis.save_image(img, f"step{step:08d}-{i:02d}.png")
-    return {"psnr": float(np.mean(psnrs)), "ssim": float(np.mean(ssims))}
+    out = {"psnr": float(np.mean(psnrs)), "ssim": float(np.mean(ssims))}
+    if lprox:
+        out["lpips_proxy"] = float(np.mean(lprox))
+    return out
 
 
 def train_scene(cfg: PointNeRFConfig,
@@ -238,7 +249,8 @@ def train_scene(cfg: PointNeRFConfig,
             history["loss"].append((step_i, means.get("loss_total", 0.0)))
         if t.test_freq > 0 and step_i % t.test_freq == 0 and test_items:
             m = evaluate(state.params, st, grid, cfg, test_items, wh, vis,
-                         step_i, save_images=True)
+                         step_i, save_images=True,
+                         lpips=step_i + t.test_freq > max_steps)
             m["step"] = step_i
             m["wall_s"] = time.time() - t0
             if state.hits is not None:
