@@ -30,7 +30,8 @@ from ..data.synthetic import ring_cameras, sphere_scene, view_ray_batch
 from ..models.aggregator import init_aggregator_params
 from ..models.points import make_point_cloud
 from ..models.renderer import RayBatch
-from ..utils.metrics import psnr as psnr_np, ssim as ssim_np
+from ..utils.metrics import (psnr as psnr_np, rmse as rmse_np,
+                             ssim as ssim_np)
 from ..utils.visualizer import Visualizer
 from .checkpoint import latest_checkpoint, load_checkpoint, save_checkpoint
 from .grow import apply_grow, apply_prune, probe_hole, render_full_frame
@@ -106,7 +107,7 @@ def evaluate(params, st, grid, cfg, items: List[Dict], wh, vis: Visualizer,
     only (the reference computes LPIPS over the test split once,
     run/evaluate.py:34-97)."""
     W, H = wh
-    psnrs, ssims, lprox = [], [], []
+    psnrs, ssims, rmses, lprox = [], [], [], []
     for i, item in enumerate(items):
         chunk = int(os.environ.get("POINTNERF_EVAL_CHUNK", "9216"))
         maps = render_full_frame(params, st, grid, cfg, item, wh,
@@ -118,12 +119,14 @@ def evaluate(params, st, grid, cfg, items: List[Dict], wh, vis: Visualizer,
         gt[pix[:, 1], pix[:, 0]] = np.asarray(item["gt_image"], np.float32)
         psnrs.append(psnr_np(img, gt))
         ssims.append(ssim_np(img, gt))
+        rmses.append(rmse_np(img, gt))
         if lpips:
             from ..utils.metrics import lpips_proxy
             lprox.append(lpips_proxy(img, gt))
         if save_images:
             vis.save_image(img, f"step{step:08d}-{i:02d}.png")
-    out = {"psnr": float(np.mean(psnrs)), "ssim": float(np.mean(ssims))}
+    out = {"psnr": float(np.mean(psnrs)), "ssim": float(np.mean(ssims)),
+           "rmse": float(np.mean(rmses))}
     if lprox:
         out["lpips_proxy"] = float(np.mean(lprox))
     return out
