@@ -60,7 +60,9 @@ class QueryConfig:
     # Final K-of-candidates selection on the prebuilt-table path:
     # "sort" = one two-operand lax.sort of the [C, Q*P] block;
     # "argmin" = K argmin+mask sweeps (~10x less HBM traffic on the
-    # end-to-end roofline; same ascending result). Numerics identical.
+    # end-to-end roofline; same ascending result);
+    # "topk" = XLA's native TopK custom call + [C, K] winner gather.
+    # Numerics identical across all three.
     knn_select: str = "sort"
     # Precompute per-voxel neighbor candidate lists at grid build
     # (ops/grid.py): the query then reads ONE contiguous [Q*P, 3] row per

@@ -430,6 +430,14 @@ def _knn_chunk(centers, center_valid, xyz, grid, meta, cfg: QueryConfig):
             # the block VMEM-resident across sweeps. Same result: ascending
             # d2, first-occurrence tie-break.
             top_pid, top_d2 = _topk_argmin(d2_flat, pid_flat, K)
+        elif cfg.knn_select == "topk":
+            # XLA's native TopK custom call (partial sort) + a [C, K] winner
+            # gather: reads the d2 block once and only K pids per row. Ties
+            # resolve to the lowest candidate index, same as the stable sort
+            # and the argmin sweeps.
+            neg, top_i = jax.lax.top_k(-d2_flat, K)        # [C, K]
+            top_d2 = -neg
+            top_pid = jnp.take_along_axis(pid_flat, top_i, axis=-1)
         else:
             # carry pids through ONE two-operand sort instead of top_k + a
             # separate [C*K]-indexed winner gather (which re-reads the whole

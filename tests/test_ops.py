@@ -274,6 +274,13 @@ def test_knn_select_argmin_matches_sort():
     p3, d3 = knn_query(jnp.asarray(centers), jnp.asarray(mask),
                        jnp.asarray(xyz), g, sl0)
     np.testing.assert_array_equal(np.asarray(p2), np.asarray(p3))
+    # knn_select='topk' (native TopK + winner gather) — same selection again
+    tk = dataclasses.replace(pre, knn_select="topk")
+    p4, d4 = knn_query(jnp.asarray(centers), jnp.asarray(mask),
+                       jnp.asarray(xyz), g, tk)
+    np.testing.assert_allclose(np.asarray(d0), np.asarray(d4),
+                               rtol=0, atol=0)
+    np.testing.assert_array_equal(np.asarray(p0), np.asarray(p4))
 
 
 def test_slot_select_scatter_matches_sort():
