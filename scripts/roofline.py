@@ -142,6 +142,19 @@ def end_to_end(cfg):
     print(f"  {'TOTAL':38s} {'':8s}       {'':8s}    -> {total_ms:6.2f} ms "
           f"({R/total_ms*1e3:,.0f} rays/s SoL)")
 
+    # alternate selection modes (QueryConfig.knn_select / slot_select):
+    # bytes if the sort is replaced by cheaper exact selections
+    def ms(by):
+        return by / (V5E_HBM_GBPS * 1e9) * 1e3
+    print("\n== selection-mode alternatives (same result, fewer bytes) ==")
+    print(f"  KNN cand sort   [C,{QP}]: "
+          f"sort {ms(sort_bytes(C, QP, 8)):6.2f} ms | "
+          f"argmin (K*2 passes) {ms(C * QP * 4 * 2 * K):6.2f} ms | "
+          f"topk (~2 passes) {ms(C * QP * 4 * 2):6.2f} ms")
+    print(f"  slot select     [R,{D}]: "
+          f"sort {ms(sort_bytes(R, D, 4)):6.2f} ms | "
+          f"scatter (3 passes) {ms(R * D * 4 * 3):6.2f} ms")
+
 
 if __name__ == "__main__":
     main()
