@@ -38,7 +38,7 @@ class WaymoDataset:
         self.poses = np.asarray(data["poses"], np.float32)    # [F,4,4] c2w
         self.intrinsic = np.asarray(data["intrinsic"], np.float32)[:3, :3]
         self.height, self.width = self.images.shape[1:3]
-        key = "points_xyz_all" if "points_xyz_all" in data else "oints_xyz_all"
+        key = "points_xyz_all" if "points_xyz_all" in data else "points_xyz"
         self.points_xyz = (np.asarray(data[key], np.float32)
                            if key in data else None)
         n = len(self.images)
