@@ -52,6 +52,10 @@ def main():
     if knob:
         cfg = cfg.replace(query=dataclasses.replace(
             cfg.query, decode_capacity=float(knob)))
+    knob = os.environ.get("BENCH_GATHER_BWD")
+    if knob:
+        cfg = cfg.replace(query=dataclasses.replace(cfg.query,
+                                                    gather_bwd=knob))
     knob = os.environ.get("BENCH_SLOT_SELECT")
     if knob:
         cfg = cfg.replace(query=dataclasses.replace(cfg.query,

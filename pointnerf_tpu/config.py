@@ -61,9 +61,19 @@ class QueryConfig:
     # "sort" = one two-operand lax.sort of the [C, Q*P] block;
     # "argmin" = K argmin+mask sweeps (~10x less HBM traffic on the
     # end-to-end roofline; same ascending result);
-    # "topk" = XLA's native TopK custom call + [C, K] winner gather.
-    # Numerics identical across all three.
+    # "topk" = XLA's native TopK custom call + [C, K] winner gather;
+    # "pallas" = fused distance+selection kernel (ops/pallas_knn.py): one
+    # VMEM pass over the gathered candidate tile, no HBM d2 block at all
+    # (requires prebuild_neighbors, NN>0, shell_layered=False; other
+    # configs fall back to "sort").
+    # Numerics identical across all four.
     knn_select: str = "sort"
+    # Payload-gather BACKWARD formulation (models/points.gather_points):
+    # "scatter" = XLA scatter-add of the [M, 13+F] cotangent rows (default);
+    # "sort" = argsort cotangents by point id + sorted segment_sum — one
+    # linear pass with no duplicate-index collisions for XLA to serialize.
+    # Same gradient up to f32 summation order.
+    gather_bwd: str = "scatter"
     # Precompute per-voxel neighbor candidate lists at grid build
     # (ops/grid.py): the query then reads ONE contiguous [Q*P, 3] row per
     # shading point instead of Q small bucket gathers — ~6x faster query on

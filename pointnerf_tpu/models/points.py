@@ -105,8 +105,41 @@ class SampledPoints(NamedTuple):
     mask: jnp.ndarray       # [R, SR, K] bool
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _table_gather_sortbwd(table: jnp.ndarray, idx: jnp.ndarray,
+                          _tag: str = "sort") -> jnp.ndarray:
+    """table[idx] whose backward avoids a duplicate-index scatter-add.
+
+    XLA lowers a scatter-add with colliding indices (every point is hit by
+    many (ray, shading, K) lanes) into a serialized update loop on TPU. The
+    custom backward instead argsorts the flat cotangent rows by point id and
+    runs a sorted segment_sum — one linear pass, bitwise-deterministic, same
+    gradient as the scatter up to f32 summation order."""
+    return table[idx]
+
+
+def _table_gather_sortbwd_fwd(table, idx, _tag):
+    return table[idx], (idx, table.shape[0])
+
+
+def _table_gather_sortbwd_bwd(_tag, res, ct):
+    idx, n = res
+    w = ct.shape[-1]
+    ids = idx.reshape(-1)
+    ctf = ct.reshape(-1, w)
+    order = jnp.argsort(ids)
+    g = jax.ops.segment_sum(ctf[order], ids[order], num_segments=n,
+                            indices_are_sorted=True)
+    return (g.astype(ct.dtype), None)
+
+
+_table_gather_sortbwd.defvjp(_table_gather_sortbwd_fwd,
+                             _table_gather_sortbwd_bwd)
+
+
 def gather_points(pc: PointCloud, xyz_pers: jnp.ndarray,
-                  sample_pidx: jnp.ndarray) -> SampledPoints:
+                  sample_pidx: jnp.ndarray,
+                  bwd: str = "scatter") -> SampledPoints:
     """Gather neighbor payloads (NeuralPoints.forward, neural_points.py:782-812).
 
     xyz_pers: [N, 3] perspective coords of all points for the current camera
@@ -117,13 +150,19 @@ def gather_points(pc: PointCloud, xyz_pers: jnp.ndarray,
     All payloads ride ONE concatenated table: on TPU a [R*SR*K]-indexed
     gather costs roughly the same regardless of row width, so one 45-wide
     gather (and its single backward scatter-add) replaces six narrow ones —
-    a large fraction of the step on profile."""
+    a large fraction of the step on profile.
+
+    bwd: QueryConfig.gather_bwd — "scatter" (XLA scatter-add) or "sort"
+    (argsort + sorted segment_sum backward, _table_gather_sortbwd)."""
     mask = sample_pidx >= 0
     idx = jnp.maximum(sample_pidx, 0)
     F = pc.features.shape[-1]
     table = jnp.concatenate(
         [pc.xyz, xyz_pers, pc.features, pc.conf, pc.color, pc.dirs], axis=-1)
-    rows = table[idx]                                    # [R,SR,K, 13+F]
+    if bwd == "sort":
+        rows = _table_gather_sortbwd(table, idx)         # [R,SR,K, 13+F]
+    else:
+        rows = table[idx]                                # [R,SR,K, 13+F]
     o = 0
 
     def take(n):

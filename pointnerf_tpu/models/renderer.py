@@ -312,7 +312,8 @@ def shade_compacted(params: Dict, cfg: PointNeRFConfig, pc: PointCloud,
                            cfg.query)                            # [C, 1, K]
 
     xyz_pers = w2pers(pc.xyz, batch.camrotc2w, batch.campos)
-    sp = gather_points(pc, xyz_pers, cpidx)                      # [C,1,K,*]
+    sp = gather_points(pc, xyz_pers, cpidx,
+                       bwd=cfg.query.gather_bwd)         # [C,1,K,*]
     cmask = cvalid & jnp.any(cpidx[:, 0] >= 0, axis=-1)          # [C] final
     cloc = w2pers(cloc_w, batch.camrotc2w, batch.campos)
     cloc = jnp.where(cmask[:, None], cloc, 0.0)
@@ -363,7 +364,8 @@ def _shade_at(params, pc: PointCloud, st: PointCloudStatic, grid,
     sample_loc_w = jnp.where(sample_mask[..., None], sample_loc_w, 0.0)
 
     xyz_pers = w2pers(pc.xyz, batch.camrotc2w, batch.campos)
-    sp = gather_points(pc, xyz_pers, sample_pidx)
+    sp = gather_points(pc, xyz_pers, sample_pidx,
+                       bwd=cfg.query.gather_bwd)
     sample_loc = w2pers(sample_loc_w, batch.camrotc2w, batch.campos)
     sample_loc = jnp.where(sample_mask[..., None], sample_loc, 0.0)
     sample_ray_dirs = jnp.broadcast_to(batch.raydir[:, None, :],
@@ -410,7 +412,8 @@ def render_rays(params: Dict, pc: PointCloud, st: PointCloudStatic,
         # Perspective coords of all points for this camera
         # (neural_points.py:635).
         xyz_pers = w2pers(pc.xyz, batch.camrotc2w, batch.campos)
-        sp = gather_points(pc, xyz_pers, q.sample_pidx)
+        sp = gather_points(pc, xyz_pers, q.sample_pidx,
+                           bwd=cfg.query.gather_bwd)
         sample_loc = w2pers(q.sample_loc_w, batch.camrotc2w, batch.campos)
         sample_loc = jnp.where(q.sample_mask[..., None], sample_loc, 0.0)
 

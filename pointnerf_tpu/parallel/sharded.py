@@ -320,7 +320,8 @@ def _shade_blocks_dense(mlp_params, pc_local: PointCloud, scene_local,
 
     # 4. Gather local payloads, then exchange candidates.
     xyz_pers = w2pers(pc_local.xyz, batch.camrotc2w, batch.campos)
-    sp = gather_points(pc_local, xyz_pers, pidx)       # [Rl, SR, K, *]
+    sp = gather_points(pc_local, xyz_pers, pidx,
+                       bwd=cfg.query.gather_bwd)    # [Rl, SR, K, *]
 
     merged = SampledPoints(
         xyz=_a2a(sp.xyz, mp), xyz_pers=_a2a(sp.xyz_pers, mp),
@@ -401,7 +402,8 @@ def _render_local_compact(mlp_params, pc_local: PointCloud, grid, Rw2c,
     pidx, d2 = knn_query(cloc_w_all[:, None], cv_all[:, None],
                          pc_local.xyz, grid, q)        # [mp*Cb, 1, K]
     xyz_pers = w2pers(pc_local.xyz, batch.camrotc2w, batch.campos)
-    sp = gather_points(pc_local, xyz_pers, pidx)       # [mp*Cb, 1, K, *]
+    sp = gather_points(pc_local, xyz_pers, pidx,
+                       bwd=cfg.query.gather_bwd)    # [mp*Cb, 1, K, *]
 
     merged = SampledPoints(
         xyz=_a2a(sp.xyz, mp), xyz_pers=_a2a(sp.xyz_pers, mp),

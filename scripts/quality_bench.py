@@ -83,6 +83,10 @@ def build_config(xyz, steps: int, rays_side: int = 60,
     if knob:
         cfg = cfg.replace(query=dataclasses.replace(cfg.query,
                                                     knn_select=knob))
+    knob = os.environ.get("BENCH_GATHER_BWD")
+    if knob:
+        cfg = cfg.replace(query=dataclasses.replace(cfg.query,
+                                                    gather_bwd=knob))
     knob = os.environ.get("BENCH_SLOT_SELECT")
     if knob:
         cfg = cfg.replace(query=dataclasses.replace(cfg.query,

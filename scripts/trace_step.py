@@ -34,6 +34,10 @@ def main():
     if knob:
         cfg = cfg.replace(query=dataclasses.replace(cfg.query,
                                                     knn_select=knob))
+    knob = os.environ.get("BENCH_GATHER_BWD")
+    if knob:
+        cfg = cfg.replace(query=dataclasses.replace(cfg.query,
+                                                    gather_bwd=knob))
     knob = os.environ.get("BENCH_SLOT_SELECT")
     if knob:
         cfg = cfg.replace(query=dataclasses.replace(cfg.query,

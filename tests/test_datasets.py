@@ -152,7 +152,7 @@ def test_waymo_dataset(tmp_path):
              hwf=np.array([16, 20, 25.0]),
              intrinsic=np.array([[25.0, 0, 10, 0], [0, 25.0, 8, 0],
                                  [0, 0, 1, 0], [0, 0, 0, 1]], np.float32),
-             oints_xyz_all=rng.randn(100, 3).astype(np.float32))
+             points_xyz_all=rng.randn(100, 3).astype(np.float32))
     cfg = DataConfig(dataset_name="waymo_ft", data_root=str(tmp_path),
                      scan="seq0")
     ds = find_dataset_class_by_name("waymo_ft")(cfg, split="train")
