@@ -350,6 +350,15 @@ def _knn_chunk(centers, center_valid, xyz, grid, meta, cfg: QueryConfig):
         cvid, cinb = flat_vid(ccoor, meta)                # [C]
         dslot = jnp.where(cinb, grid.vox_dslot[jnp.minimum(cvid, G1)], -1)
         dsc = jnp.maximum(dslot, 0)
+        if cfg.knn_select == "pallas" and cfg.NN > 0 and not cfg.shell_layered:
+            # Fused Pallas distance+selection: one VMEM pass over the
+            # gathered candidate tile instead of an HBM d2 block + sort /
+            # argmin sweeps (ops/pallas_knn.py). Identical winner set.
+            from .pallas_knn import pallas_knn_select
+            return pallas_knn_select(
+                grid.nbr_xyz[dsc], grid.nbr_pid[dsc], centers,
+                (dslot >= 0) & center_valid, K=K,
+                r2=cfg.radius_limit ** 2)
         pxyz = grid.nbr_xyz[dsc].reshape(C, Q, P, 3)
         cand_ok = ((dslot >= 0) & center_valid)[:, None, None] & \
             (pxyz[..., 0] < 1.0e7)                        # dead slots = 1e8

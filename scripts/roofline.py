@@ -150,10 +150,22 @@ def end_to_end(cfg):
     print(f"  KNN cand sort   [C,{QP}]: "
           f"sort {ms(sort_bytes(C, QP, 8)):6.2f} ms | "
           f"argmin (K*2 passes) {ms(C * QP * 4 * 2 * K):6.2f} ms | "
-          f"topk (~2 passes) {ms(C * QP * 4 * 2):6.2f} ms")
+          f"topk (~2 passes) {ms(C * QP * 4 * 2):6.2f} ms | "
+          # pallas fused select (ops/pallas_knn.py): gather+transpose writes
+          # the planar candidate block once, the kernel reads it once and
+          # keeps every d2/selection pass in VMEM — no HBM d2 block at all
+          f"pallas ({ms(C * QP * 4 * (3 + 3 + 1 + 1)):6.2f} ms incl "
+          f"planar gather)")
     print(f"  slot select     [R,{D}]: "
           f"sort {ms(sort_bytes(R, D, 4)):6.2f} ms | "
           f"scatter (3 passes) {ms(R * D * 4 * 3):6.2f} ms")
+    # gather_bwd: XLA scatter-add serializes on duplicate point ids; the
+    # sort formulation pays an i32 key argsort + one permuted row pass +
+    # a sorted segment-sum (QueryConfig.gather_bwd="sort")
+    print(f"  payload bwd     [C*K,{13+F}]: "
+          f"scatter-add {ms(2 * payload):6.2f} ms (collision-serialized: "
+          f"worse) | "
+          f"sort+segsum {ms(sort_bytes(1, C*K, 4) + 2*payload):6.2f} ms")
 
 
 if __name__ == "__main__":
