@@ -277,6 +277,18 @@ class TrainConfig:
     # neighbor hits are exempt from confidence pruning (under-trained, not
     # misplaced). 0 restores reference behavior (prune on conf alone).
     prune_min_hits: float = 0.0
+    # --- gradient-driven point splitting (densification; no reference
+    # analog — 3DGS-style: points whose payload-gradient EMA stays large
+    # relative to how often they are sampled mark under-reconstructed
+    # regions, e.g. thin geometry covered by too few points) --------------
+    # cadence in steps (0 disables); splits run inside the prune window
+    # (step <= prune_max_iter), like prune/grow
+    split_iter: int = 0
+    # max points cloned per split event
+    split_top: int = 512
+    # offspring jitter radius in voxel-size multiples, applied TANGENTIALLY
+    # to the parent's dir (surface normal) so thin sheets densify in-plane
+    split_jitter: float = 0.5
 
 
 @dataclass(frozen=True)

@@ -34,7 +34,8 @@ from ..utils.metrics import (psnr as psnr_np, rmse as rmse_np,
                              ssim as ssim_np)
 from ..utils.visualizer import Visualizer
 from .checkpoint import latest_checkpoint, load_checkpoint, save_checkpoint
-from .grow import apply_grow, apply_prune, probe_hole, render_full_frame
+from .grow import (apply_grow, apply_prune, probe_hole, render_full_frame,
+                   split_high_grad)
 from .step import (TrainState, create_train_state, eval_step, refresh_grid,
                    train_step)
 
@@ -230,6 +231,14 @@ def train_scene(cfg: PointNeRFConfig,
             state, st, added = apply_grow(state, st, cand, cfg)
             grid = refresh_grid(state.params["points"], st, cfg)
             print(f"[grow] step {step_i}: +{added} points "
+                  f"(total {int(st.num_active)})")
+        # ---- gradient-driven splitting (densification; grow.py) ---------
+        if (t.split_iter > 0 and step_i % t.split_iter == 0
+                and step_i <= t.prune_max_iter):
+            state, st, added = split_high_grad(state, st, cfg)
+            if added:
+                grid = refresh_grid(state.params["points"], st, cfg)
+            print(f"[split] step {step_i}: +{added} points "
                   f"(total {int(st.num_active)})")
 
         fetched_step, item = prefetch.get()

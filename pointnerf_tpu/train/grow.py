@@ -196,6 +196,63 @@ def apply_prune(state: TrainState, st: PointCloudStatic,
                        key=state.key, hits=hits), st2, int(kept))
 
 
+def split_high_grad(state: TrainState, st: PointCloudStatic,
+                    cfg: PointNeRFConfig
+                    ) -> Tuple[TrainState, PointCloudStatic, int]:
+    """Gradient-driven densification (no reference analog; 3DGS-style).
+
+    Points whose payload-gradient EMA stays large RELATIVE to how often
+    they are sampled (score = grad_ema / (hit_ema + 1)) mark
+    under-reconstructed regions — typically thin geometry covered by too
+    few points (PERF.md cluster/thicket failure analysis). The top
+    `split_top` scorers are cloned: offspring inherit the parent payload
+    and land a tangential `split_jitter * vsize` step away (perpendicular
+    to the parent dir, i.e. in the local surface plane), then train as
+    ordinary points (zero Adam moments, zero hit counters — so
+    prune_min_hits shields them while young). Parents' grad EMA resets so
+    one hot region doesn't re-split every event.
+    """
+    t = cfg.train
+    if state.hits is None or state.hits.shape[1] < 3 or t.split_top <= 0:
+        return state, st, 0
+    pc: PointCloud = state.params["points"]
+    n_act = int(st.num_active)
+    hits = np.asarray(state.hits)
+    score = hits[:n_act, 2] / (hits[:n_act, 1] + 1.0)
+    n = min(t.split_top, n_act)
+    parents = np.argsort(-score)[:n]
+    parents = parents[score[parents] > 0.0]
+    if parents.size == 0:
+        return state, st, 0
+
+    # deterministic tangential jitter from the parent ids + step
+    rng = np.random.RandomState(int(state.step) & 0x7FFFFFFF)
+    pxyz = np.asarray(pc.xyz[parents])
+    pdir = np.asarray(pc.dirs[parents])
+    nrm = pdir / np.maximum(np.linalg.norm(pdir, axis=-1, keepdims=True),
+                            1e-8)
+    r = rng.randn(parents.size, 3).astype(np.float32)
+    tang = r - np.sum(r * nrm, axis=-1, keepdims=True) * nrm
+    tl = np.linalg.norm(tang, axis=-1, keepdims=True)
+    # degenerate (r parallel to nrm / zero dir): fall back to r itself
+    tang = np.where(tl > 1e-6, tang / np.maximum(tl, 1e-8),
+                    r / np.maximum(np.linalg.norm(r, axis=-1,
+                                                  keepdims=True), 1e-8))
+    step_len = t.split_jitter * float(max(cfg.query.vsize[0],
+                                          cfg.query.vsize[1]))
+    cand = ProbeCandidates(
+        xyz=(pxyz + tang * step_len).astype(np.float32),
+        embedding=np.asarray(pc.features[parents]),
+        color=np.asarray(pc.color[parents]),
+        dirs=pdir,
+        conf=np.asarray(pc.conf[parents]))
+    state, st, added = apply_grow(state, st, cand, cfg)
+    if added and state.hits is not None:
+        state = state._replace(
+            hits=state.hits.at[jnp.asarray(parents), 2].set(0.0))
+    return state, st, added
+
+
 def pad_point_opt_state(opt_state, old_cap: int, new_cap: int):
     """Zero-pad per-point Adam moments to a grown capacity bucket (new
     slots had zero gradients, so zero moments are exact)."""

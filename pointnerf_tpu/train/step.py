@@ -27,9 +27,11 @@ class TrainState(NamedTuple):
     opt_state: Any
     step: jnp.ndarray             # [] int32
     key: jnp.ndarray              # PRNG key
-    # per-point neighbor-hit counters [capacity, 2]: column 0 cumulative,
-    # column 1 EMA (TrainConfig.hit_ema_decay). Gradient-starvation levers
-    # (hit_lr_boost, prune_min_hits) read these; prune/grow repack them like
+    # per-point counters [capacity, 3]: column 0 cumulative neighbor hits,
+    # column 1 hit EMA (TrainConfig.hit_ema_decay), column 2 payload
+    # gradient-norm EMA (feeds gradient-driven splitting, grow.py
+    # split_high_grad). Gradient-starvation levers (hit_lr_boost,
+    # prune_min_hits, split_iter) read these; prune/grow repack them like
     # Adam moments. No reference analog — the reference tracks nothing
     # per-point beyond conf.
     hits: Optional[jnp.ndarray] = None
@@ -41,7 +43,7 @@ def create_train_state(key, agg_params, pc: PointCloud,
     tx = make_optimizer(cfg)
     return TrainState(params=params, opt_state=tx.init(params),
                       step=jnp.asarray(0, jnp.int32), key=key,
-                      hits=jnp.zeros((pc.capacity, 2), jnp.float32))
+                      hits=jnp.zeros((pc.capacity, 3), jnp.float32))
 
 
 def loss_fn(params, st: PointCloudStatic, grid: PointGrid, batch: RayBatch,
@@ -102,8 +104,16 @@ def train_step(state: TrainState, st: PointCloudStatic, grid: PointGrid,
     new_hits = state.hits
     if state.hits is not None:
         d = cfg.train.hit_ema_decay
+        # per-point payload gradient norm (post grad-flags, pre-boost): the
+        # splitting score (grow.py split_high_grad) reads its EMA
+        gpt = grads["points"]
+        gnorm = jnp.sqrt(jnp.sum(gpt.features ** 2, -1)
+                         + jnp.sum(gpt.color ** 2, -1)
+                         + jnp.sum(gpt.conf ** 2, -1)
+                         + jnp.sum(gpt.xyz ** 2, -1))
         new_hits = jnp.stack([state.hits[:, 0] + hit_inc,
-                              state.hits[:, 1] * d + hit_inc * (1.0 - d)],
+                              state.hits[:, 1] * d + hit_inc * (1.0 - d),
+                              state.hits[:, 2] * d + gnorm * (1.0 - d)],
                              axis=-1)
         if cfg.train.hit_lr_boost > 1.0:
             # under-hit payloads move faster (pre-update EMA; see optim.py)

@@ -41,7 +41,8 @@ from pointnerf_tpu.train.driver import train_scene  # noqa: E402
 
 def build_config(xyz, steps: int, rays_side: int = 60,
                  prune_iter: int = -1, hit_boost: float = 0.0,
-                 prune_min_hits: float = 0.0, fine: int = 0):
+                 prune_min_hits: float = 0.0, fine: int = 0,
+                 split_iter: int = 0, split_top: int = 512):
     """Lego-budget config sized to the procedural scene AABB. Cadences scale
     with the step budget relative to the reference's 200k-step schedule
     (probe every 10001; lego.sh:55-160).
@@ -75,7 +76,8 @@ def build_config(xyz, steps: int, rays_side: int = 60,
             prune_iter=prune_iter, prune_max_iter=int(steps * 0.65),
             prob_freq=prob_freq, test_freq=max(250, steps // 40),
             print_freq=200, save_iter_freq=max(1000, steps // 10),
-            hit_lr_boost=hit_boost, prune_min_hits=prune_min_hits),
+            hit_lr_boost=hit_boost, prune_min_hits=prune_min_hits,
+            split_iter=split_iter, split_top=split_top),
         parallel=ParallelConfig(remat=False))
     # honor the same perf A/B knobs as bench.py so quality runs can ride
     # whichever selection mode the on-chip A/B picked
@@ -126,6 +128,11 @@ def main():
     ap.add_argument("--prune-min-hits", type=float, default=0.0,
                     help="prune exemption floor on cumulative neighbor hits "
                          "(TrainConfig.prune_min_hits)")
+    ap.add_argument("--split-iter", type=int, default=0,
+                    help="gradient-driven point-splitting cadence "
+                         "(TrainConfig.split_iter; 0 disables)")
+    ap.add_argument("--split-top", type=int, default=512,
+                    help="max points cloned per split event")
     ap.add_argument("--fine", type=int, default=0,
                     help="hierarchical fine samples per ray "
                          "(RenderConfig.fine_sample_num; 0 disables)")
@@ -148,7 +155,8 @@ def main():
     wh = (args.wh, args.wh)
     cfg = build_config(xyz, args.steps, rays_side=args.rays_side,
                        prune_iter=args.prune_iter, hit_boost=args.hit_boost,
-                       prune_min_hits=args.prune_min_hits, fine=args.fine)
+                       prune_min_hits=args.prune_min_hits, fine=args.fine,
+                       split_iter=args.split_iter, split_top=args.split_top)
     if args.feat_dim:
         cfg = cfg.replace(agg=dataclasses.replace(
             cfg.agg, point_features_dim=args.feat_dim))

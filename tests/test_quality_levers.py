@@ -34,7 +34,7 @@ def test_hit_counters_accumulate_and_match_neighbor_ids():
     pc, st, params, grid, campos, camrot = setup(cfg)
     batch = make_batch(campos, camrot, R=64)
     state = _state(cfg, pc)
-    assert state.hits.shape == (pc.capacity, 2)
+    assert state.hits.shape == (pc.capacity, 3)
 
     # loss_fn's hit increment == the number of valid neighbor entries of an
     # identical render (same key, train=True)
