@@ -195,6 +195,18 @@ class RenderConfig:
                                  # `fine_raycolor` with the same decoder
     ray_middle: float = 2.0      # near_middle_far split point (:142-198)
     ray_middle_split: float = 0.6
+    # --- proposal-NeRF hybrid (fork --proposal_nerf; the reference's engine
+    # was never committed upstream — redesigned TPU-native in
+    # models/nerf_branch.py + renderer._hybrid_march): a global PE-MLP
+    # radiance field contributes nerf_importance extra samples per ray
+    # (drawn from a coarse NeRF proposal), z-merged with the point samples
+    # and marched once. 0 disables.
+    nerf_importance: int = 0
+    nerf_coarse_samples: int = 64
+    nerf_hidden: int = 128
+    nerf_layers: int = 4
+    nerf_pe_xyz: int = 10
+    nerf_pe_dir: int = 4
 
 
 @dataclass(frozen=True)
@@ -391,7 +403,8 @@ def jit_canonical(cfg: PointNeRFConfig) -> PointNeRFConfig:
             prune_thresh=0.0, prob_freq=0, prob_num_step=0, prob_thresh=0.0,
             prob_mul=0.0, save_iter_freq=0, test_freq=0, print_freq=0,
             seed=0, random_sample="", random_sample_size=0, batch_size=0,
-            prune_min_hits=0.0),
+            prune_min_hits=0.0, split_iter=0, split_top=0,
+            split_jitter=0.0),
         data=DataConfig())
 
 

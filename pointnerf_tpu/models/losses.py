@@ -42,6 +42,11 @@ def compute_losses(out: RenderOutput, gt_image: jnp.ndarray,
         # hierarchical second pass (reference registers fine_raycolor in
         # color_loss_items when fine_sample_num > 0, _ori.py:77-78)
         output["fine_raycolor"] = out.fine_raycolor
+    if out.nerf_coarse_raycolor is not None:
+        # proposal-NeRF hybrid: aux supervision of the coarse radiance
+        # field (reference output 'nerf_coarse_raycolor',
+        # neural_points_volumetric_multiseq_model.py:336)
+        output["nerf_coarse_raycolor"] = out.nerf_coarse_raycolor
 
     for name, wgt in zip(cfg.color_loss_items, cfg.color_loss_weights):
         if name.startswith("ray_masked_"):

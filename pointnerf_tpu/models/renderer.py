@@ -71,6 +71,13 @@ class RenderOutput(NamedTuple):
     fine_raycolor: Optional[jnp.ndarray] = None            # [R, C]
     # neighbor ids of the fine decode (same convention as neighbor_pidx)
     fine_neighbor_pidx: Optional[jnp.ndarray] = None
+    # per-sample decoded features [R, SR, 1+C], kept only when the
+    # proposal-NeRF hybrid needs to z-merge them with radiance-field
+    # samples (RenderConfig.nerf_importance > 0)
+    sample_features: Optional[jnp.ndarray] = None
+    # coarse radiance-field color of the hybrid's proposal pass (reference
+    # output 'nerf_coarse_raycolor', multiseq_model.py:336)
+    nerf_coarse_raycolor: Optional[jnp.ndarray] = None
 
 
 def compute_ray_dist(sample_loc_pers, ray_valid, vsize_z: float,
@@ -152,6 +159,8 @@ def _finalize(cfg: PointNeRFConfig, features, ray_valid, weight, conf_coeff,
         ray_valid=ray_valid,
         sample_loc_w=sample_loc_w,
         decode_dropped=decode_dropped,
+        sample_features=(features if cfg.render.nerf_importance > 0
+                         else None),
     )
 
 
@@ -385,9 +394,12 @@ def render_rays(params: Dict, pc: PointCloud, st: PointCloudStatic,
                 compute_dtype=jnp.float32) -> RenderOutput:
     """Render a batch of rays against the neural point cloud."""
     from ..config import generator_kwargs
-    k_coarse = k_fine = None
+    k_coarse = k_fine = k_nerf = None
     if key is not None:
-        k_coarse, k_fine = jax.random.split(key)
+        if cfg.render.nerf_importance > 0:
+            k_coarse, k_fine, k_nerf = jax.random.split(key, 3)
+        else:
+            k_coarse, k_fine = jax.random.split(key)
     if cfg.query.decode_capacity > 0 and not prob:
         # static-capacity valid-slot compaction before the KNN (prob-mode
         # probes need the full [R,SR,K] gathered payloads for argmax stats —
@@ -462,4 +474,80 @@ def render_rays(params: Dict, pc: PointCloud, st: PointCloudStatic,
                              compute_dtype=compute_dtype, train=train)
         out = out._replace(fine_raycolor=fine_out.coarse_raycolor,
                            fine_neighbor_pidx=fine_out.neighbor_pidx)
+    if cfg.render.nerf_importance > 0 and "nerf" in params:
+        out = _hybrid_march(params, out, batch, cfg, key=k_nerf,
+                            train=train, compute_dtype=compute_dtype)
     return out
+
+
+def _hybrid_march(params: Dict, out: RenderOutput, batch: RayBatch,
+                  cfg: PointNeRFConfig, key=None, train: bool = False,
+                  compute_dtype=jnp.float32) -> RenderOutput:
+    """Proposal-NeRF hybrid compositing (fork --proposal_nerf, redesigned
+    TPU-native — see models/nerf_branch.py). A coarse radiance-field pass
+    builds a proposal distribution, `nerf_importance` z's are drawn from
+    it, decoded by the NeRF MLP, z-MERGED with the point samples (one
+    static [R, SR+Ni] two-operand sort, the jit equivalent of the
+    reference's torch.sort+gather, multiseq_model.py:347-366) and the
+    merged sequence is marched once: the field covers what the point cloud
+    misses, points keep the detail. Replaces coarse_raycolor; the
+    points-only march stays in the other outputs (opacities feed the fine
+    pass / probes)."""
+    from .nerf_branch import coarse_ray_march, importance_z, nerf_eval
+    r = cfg.render
+    Ni = r.nerf_importance
+    k1 = k2 = None
+    if key is not None:
+        k1, k2 = jax.random.split(key)
+
+    # point samples' ray parameter (same projection as the fine pass)
+    rd2 = jnp.sum(batch.raydir * batch.raydir, -1, keepdims=True)
+    t_pts = jnp.sum((out.sample_loc_w - batch.campos[None, None, :])
+                    * batch.raydir[:, None, :], -1) / rd2        # [R, SR]
+    far = jnp.asarray(r.far_plane, jnp.float32)
+    t_pts = jnp.where(out.ray_valid, t_pts, far + 1.0)  # invalids sort last
+
+    z_c, w_c, rgb_c = coarse_ray_march(params["nerf"], batch.campos,
+                                       batch.raydir, cfg, key=k1,
+                                       train=train,
+                                       compute_dtype=compute_dtype)
+    z_i = importance_z(z_c, jax.lax.stop_gradient(w_c), Ni,
+                       det=not train, key=k2)                    # [R, Ni]
+    pts = (batch.campos[None, None, :]
+           + z_i[..., None] * batch.raydir[:, None, :])
+    feats_n = nerf_eval(params["nerf"], pts,
+                        jnp.broadcast_to(batch.raydir[:, None, :],
+                                         pts.shape),
+                        cfg, compute_dtype)                      # [R,Ni,1+C]
+
+    feats_p = jnp.where(out.ray_valid[..., None], out.sample_features, 0.0)
+    z_all = jnp.concatenate([t_pts, z_i], axis=-1)               # [R, S+Ni]
+    feats_all = jnp.concatenate([feats_p, feats_n], axis=-2)
+    valid_all = jnp.concatenate(
+        [out.ray_valid, jnp.ones(z_i.shape, bool)], axis=-1)
+    idx = jnp.broadcast_to(
+        jnp.arange(z_all.shape[-1], dtype=jnp.int32)[None], z_all.shape)
+    z_s, idx_s = jax.lax.sort((z_all, idx), num_keys=1)
+    feats_s = jnp.take_along_axis(feats_all, idx_s[..., None], axis=-2)
+    valid_s = jnp.take_along_axis(valid_all, idx_s, axis=-1)
+
+    vz = cfg.query.vsize[2]
+    dists = jnp.concatenate(
+        [z_s[:, 1:] - z_s[:, :-1],
+         jnp.full(z_s[:, :1].shape, vz, jnp.float32)], axis=-1)
+    # gaps into the sorted-to-back invalid block are meaningless: clamp to
+    # one voxel (the reference's ray_dist[ray_dist>100]=vsize, :378)
+    dists = jnp.where(dists > (r.far_plane - r.near_plane), vz, dists)
+
+    render_func = RENDER_FUNCS[cfg.render.which_render_func]
+    blend_func = BLEND_FUNCS[cfg.render.which_blend_func]
+    tonemap = TONEMAP_FUNCS[cfg.render.which_tonemap_func]
+    bg = jnp.asarray(r.bg_color, jnp.float32)
+    if cfg.agg.shading_color_channel_num != 3:
+        bg = jnp.zeros((cfg.agg.shading_color_channel_num,), jnp.float32)
+    (ray_color, _pc, _op, _acc, _bw, bg_trans, _bgw) = ray_march(
+        dists, valid_s, feats_s, render_func, blend_func, bg)
+    return out._replace(coarse_raycolor=tonemap(ray_color),
+                        coarse_is_background=bg_trans,
+                        nerf_coarse_raycolor=tonemap(rgb_c),
+                        sample_features=None)

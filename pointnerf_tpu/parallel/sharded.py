@@ -547,6 +547,12 @@ def make_sharded_train_step(cfg: PointNeRFConfig, mesh: Mesh):
     State layout: params['mlp'] replicated; params['points'] leaves
     [mp, cap_s, ...] sharded over mp (Adam state follows params, sharded by
     construction since optax state mirrors the param pytree)."""
+    if cfg.render.nerf_importance > 0:
+        raise NotImplementedError(
+            "the proposal-NeRF hybrid (render.nerf_importance) is "
+            "single-chip for now — the NeRF branch is replicated-MLP-only "
+            "and would ride the mesh trivially, but the merged march is "
+            "not wired into _render_local yet")
     dp, mp = mesh.shape["dp"], mesh.shape["mp"]
     tx = make_optimizer(cfg)
 
@@ -626,24 +632,34 @@ def make_sharded_eval_step(cfg: PointNeRFConfig, mesh: Mesh,
                                  scene.num_active[0], scene.Rw2c, batch, cfg,
                                  key=None, train=False, mp=mp, prob=prob)
         # the per-shard overflow scalar can't ride the ray-sharded out_specs;
-        # drivers read it from the training items instead
-        return out._replace(decode_dropped=None)
+        # drivers read it from the training items instead (single-chip-only
+        # fields stripped likewise)
+        return out._replace(decode_dropped=None, sample_features=None,
+                            nerf_coarse_raycolor=None)
 
-    # Spec tree must mirror the output: None in the prob-only slots when the
-    # probe outputs are disabled (None is an empty subtree on both sides).
-    # fine_raycolor is ray-sharded when hierarchical refinement is on
-    # (_fine_local), absent otherwise (the prob path shades coarse-only).
-    # neighbor_pidx / fine_neighbor_pidx are always None here (ids are
-    # shard-local; per-point hit counters live on the single-chip step).
-    n_core = 10  # always-present RenderOutput fields
+    # Spec tree must mirror the output: None in the slots the sharded eval
+    # never populates (None is an empty subtree on both sides). Name-based
+    # so new RenderOutput fields default to None here instead of silently
+    # shifting a positional spec list. fine_raycolor is ray-sharded when
+    # hierarchical refinement is on (_fine_local), absent otherwise (the
+    # prob path shades coarse-only). neighbor_pidx / fine_neighbor_pidx are
+    # always None here (ids are shard-local; per-point hit counters live on
+    # the single-chip step).
     fine_on = cfg.render.fine_sample_num > 0 and not prob
-    # + decode_dropped (None) + neighbor_pidx (None) before the prob block,
-    # and fine_raycolor + fine_neighbor_pidx last
-    n_prob = len(RenderOutput._fields) - n_core - 4
-    out_specs = RenderOutput(*([P(("dp", "mp"))] * n_core),
-                             None, None,
-                             *([P(("dp", "mp")) if prob else None] * n_prob),
-                             P(("dp", "mp")) if fine_on else None, None)
+    sharded = P(("dp", "mp"))
+    core = ("coarse_raycolor", "coarse_is_background", "coarse_depth",
+            "coarse_point_opacity", "queried_shading", "ray_mask", "weight",
+            "conf_coefficient", "ray_valid", "sample_loc_w")
+    probf = ("ray_max_shading_opacity", "ray_max_sample_loc_w",
+             "ray_max_far_dist", "shading_avg_color", "shading_avg_dir",
+             "shading_avg_conf", "shading_avg_embedding")
+    spec = {f: None for f in RenderOutput._fields}
+    spec.update({f: sharded for f in core})
+    if prob:
+        spec.update({f: sharded for f in probf})
+    if fine_on:
+        spec["fine_raycolor"] = sharded
+    out_specs = RenderOutput(**spec)
     eval_sm = jax.shard_map(
         device_eval, mesh=mesh,
         in_specs=({"mlp": P(), "points": P("mp")},

@@ -164,6 +164,11 @@ def train_scene(cfg: PointNeRFConfig,
                               features=features, conf=conf,
                               color=color, dirs=normals)
     params = init_aggregator_params(k2, cfg.agg)
+    if cfg.render.nerf_importance > 0:
+        # proposal-NeRF hybrid branch (models/nerf_branch.py) trains in the
+        # mlp param group alongside the aggregator
+        from ..models.nerf_branch import init_nerf_params
+        params["nerf"] = init_nerf_params(jax.random.fold_in(k2, 7), cfg)
     state = create_train_state(k3, params, pc, cfg)
 
     if resume:

@@ -42,7 +42,8 @@ from pointnerf_tpu.train.driver import train_scene  # noqa: E402
 def build_config(xyz, steps: int, rays_side: int = 60,
                  prune_iter: int = -1, hit_boost: float = 0.0,
                  prune_min_hits: float = 0.0, fine: int = 0,
-                 split_iter: int = 0, split_top: int = 512):
+                 split_iter: int = 0, split_top: int = 512,
+                 nerf_importance: int = 0):
     """Lego-budget config sized to the procedural scene AABB. Cadences scale
     with the step budget relative to the reference's 200k-step schedule
     (probe every 10001; lego.sh:55-160).
@@ -70,7 +71,8 @@ def build_config(xyz, steps: int, rays_side: int = 60,
             decode_capacity=0.4),
         render=dataclasses.replace(
             cfg.render, near_plane=cam_r - 0.75 * span,
-            far_plane=cam_r + 0.75 * span, fine_sample_num=fine),
+            far_plane=cam_r + 0.75 * span, fine_sample_num=fine,
+            nerf_importance=nerf_importance),
         train=dataclasses.replace(
             cfg.train, maximum_step=steps, random_sample_size=rays_side,
             prune_iter=prune_iter, prune_max_iter=int(steps * 0.65),
@@ -128,6 +130,9 @@ def main():
     ap.add_argument("--prune-min-hits", type=float, default=0.0,
                     help="prune exemption floor on cumulative neighbor hits "
                          "(TrainConfig.prune_min_hits)")
+    ap.add_argument("--nerf-importance", type=int, default=0,
+                    help="proposal-NeRF hybrid samples per ray "
+                         "(RenderConfig.nerf_importance; 0 disables)")
     ap.add_argument("--split-iter", type=int, default=0,
                     help="gradient-driven point-splitting cadence "
                          "(TrainConfig.split_iter; 0 disables)")
@@ -156,7 +161,8 @@ def main():
     cfg = build_config(xyz, args.steps, rays_side=args.rays_side,
                        prune_iter=args.prune_iter, hit_boost=args.hit_boost,
                        prune_min_hits=args.prune_min_hits, fine=args.fine,
-                       split_iter=args.split_iter, split_top=args.split_top)
+                       split_iter=args.split_iter, split_top=args.split_top,
+                       nerf_importance=args.nerf_importance)
     if args.feat_dim:
         cfg = cfg.replace(agg=dataclasses.replace(
             cfg.agg, point_features_dim=args.feat_dim))
@@ -171,6 +177,15 @@ def main():
                                       test_freq=max(1, args.steps // 3),
                                       prune_iter=max(1, args.steps // 2),
                                       prob_freq=max(2, args.steps // 2 + 1)))
+    if args.nerf_importance > 0:
+        # the merged hybrid color lives in coarse_raycolor: supervise it on
+        # ALL rays (miss rays are exactly where the radiance field learns)
+        # + aux loss on the proposal pass
+        cfg = cfg.replace(loss=dataclasses.replace(
+            cfg.loss,
+            color_loss_items=("ray_masked_coarse_raycolor",
+                              "coarse_raycolor", "nerf_coarse_raycolor"),
+            color_loss_weights=(1.0, 1.0, 0.5)))
     if args.test_freq:
         cfg = cfg.replace(train=dataclasses.replace(cfg.train,
                                                     test_freq=args.test_freq))
