@@ -301,6 +301,12 @@ class TrainConfig:
     # offspring jitter radius in voxel-size multiples, applied TANGENTIALLY
     # to the parent's dir (surface normal) so thin sheets densify in-plane
     split_jitter: float = 0.5
+    # proposal-NeRF point creation (reference --nerf_create_points,
+    # multiseq_model.py:413-417): probe frames turn missed rays whose
+    # radiance-field blend mass exceeds prob_thresh into grow candidates at
+    # the field's expected depth. Requires render.nerf_importance > 0 and
+    # 3-channel color.
+    nerf_create_points: bool = False
 
 
 @dataclass(frozen=True)

@@ -78,6 +78,14 @@ class RenderOutput(NamedTuple):
     # coarse radiance-field color of the hybrid's proposal pass (reference
     # output 'nerf_coarse_raycolor', multiseq_model.py:336)
     nerf_coarse_raycolor: Optional[jnp.ndarray] = None
+    # NeRF-driven point creation signals (reference --nerf_create_points,
+    # multiseq_model.py:413-417): per-ray blend-weight mass carried by the
+    # FIELD samples in the merged march, their expected world location, and
+    # expected color — probe_hole turns confident masses on missed rays
+    # into grow candidates (TrainConfig.nerf_create_points)
+    nerf_mass: Optional[jnp.ndarray] = None      # [R, 1]
+    nerf_loc_w: Optional[jnp.ndarray] = None     # [R, 3]
+    nerf_color: Optional[jnp.ndarray] = None     # [R, 3]
 
 
 def compute_ray_dist(sample_loc_pers, ray_valid, vsize_z: float,
@@ -545,9 +553,20 @@ def _hybrid_march(params: Dict, out: RenderOutput, batch: RayBatch,
     bg = jnp.asarray(r.bg_color, jnp.float32)
     if cfg.agg.shading_color_channel_num != 3:
         bg = jnp.zeros((cfg.agg.shading_color_channel_num,), jnp.float32)
-    (ray_color, _pc, _op, _acc, _bw, bg_trans, _bgw) = ray_march(
+    (ray_color, _pc, _op, _acc, bw, bg_trans, _bgw) = ray_march(
         dists, valid_s, feats_s, render_func, blend_func, bg)
+
+    # point-creation signals: blend mass carried by the FIELD samples (the
+    # sorted indices >= SR mark them), their expected location and color
+    SR = out.ray_valid.shape[-1]
+    w_n = jnp.where(idx_s >= SR, bw[..., 0], 0.0)            # [R, S+Ni]
+    mass = jnp.sum(w_n, axis=-1, keepdims=True)              # [R, 1]
+    zbar = jnp.sum(w_n * z_s, axis=-1, keepdims=True) / (mass + 1e-8)
+    loc_w = batch.campos[None, :] + zbar * batch.raydir      # [R, 3]
+    col_n = (jnp.sum(w_n[..., None] * feats_s[..., 1:4], axis=-2)
+             / (mass + 1e-8))                                # [R, <=3]
     return out._replace(coarse_raycolor=tonemap(ray_color),
                         coarse_is_background=bg_trans,
                         nerf_coarse_raycolor=tonemap(rgb_c),
-                        sample_features=None)
+                        sample_features=None,
+                        nerf_mass=mass, nerf_loc_w=loc_w, nerf_color=col_n)

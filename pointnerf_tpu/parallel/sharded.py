@@ -635,7 +635,8 @@ def make_sharded_eval_step(cfg: PointNeRFConfig, mesh: Mesh,
         # drivers read it from the training items instead (single-chip-only
         # fields stripped likewise)
         return out._replace(decode_dropped=None, sample_features=None,
-                            nerf_coarse_raycolor=None)
+                            nerf_coarse_raycolor=None, nerf_mass=None,
+                            nerf_loc_w=None, nerf_color=None)
 
     # Spec tree must mirror the output: None in the slots the sharded eval
     # never populates (None is an empty subtree on both sides). Name-based

@@ -56,6 +56,8 @@ def render_full_frame(params, st, grid, cfg: PointNeRFConfig, item: Dict,
             "shading_avg_color", "shading_avg_dir", "shading_avg_conf",
             "shading_avg_embedding"] if prob else ["coarse_raycolor",
                                                    "ray_mask"]
+    if prob and cfg.render.nerf_importance > 0:
+        keys += ["nerf_mass", "nerf_loc_w", "nerf_color"]
     from ..config import jit_canonical
     jcfg = jit_canonical(cfg)
     campos = jnp.asarray(item["campos"])
@@ -120,13 +122,39 @@ def accumulate_probe_candidates(adds: Dict, maps: Dict, item: Dict,
     sel = (ray_mask & _dilate3(miss)
            & (maps["ray_max_shading_opacity"][..., 0]
               > cfg.train.prob_thresh))
-    if not sel.any():
-        return
-    adds["xyz"].append(maps["ray_max_sample_loc_w"][sel])
-    adds["embedding"].append(maps["shading_avg_embedding"][sel])
-    adds["color"].append(maps["shading_avg_color"][sel])
-    adds["dirs"].append(maps["shading_avg_dir"][sel])
-    adds["conf"].append(maps["shading_avg_conf"][sel] * cfg.train.prob_mul)
+    if sel.any():
+        adds["xyz"].append(maps["ray_max_sample_loc_w"][sel])
+        adds["embedding"].append(maps["shading_avg_embedding"][sel])
+        adds["color"].append(maps["shading_avg_color"][sel])
+        adds["dirs"].append(maps["shading_avg_dir"][sel])
+        adds["conf"].append(maps["shading_avg_conf"][sel]
+                            * cfg.train.prob_mul)
+    # NeRF-driven creation (reference --nerf_create_points): missed rays
+    # where the radiance field carries confident blend mass get points at
+    # the field's expected depth — unlike the hole path above, this covers
+    # regions with NO nearby point geometry at all
+    if (cfg.train.nerf_create_points and "nerf_mass" in maps
+            and maps.get("nerf_color") is not None
+            and maps["nerf_color"].shape[-1] == 3):
+        seln = miss & (maps["nerf_mass"][..., 0] > cfg.train.prob_thresh)
+        if seln.any():
+            n = int(seln.sum())
+            adds["xyz"].append(maps["nerf_loc_w"][seln])
+            # fresh features: the field has no point embedding to donate —
+            # small deterministic noise like feature_init_method="rand"
+            rng = np.random.RandomState(n)
+            F = cfg.agg.point_features_dim
+            adds["embedding"].append(
+                rng.randn(n, F).astype(np.float32) * 0.01)
+            adds["color"].append(maps["nerf_color"][seln])
+            # face the camera: candidate dir = -raydir at those pixels
+            rd = np.zeros((H, W, 3), np.float32)
+            rd[pix[:, 1], pix[:, 0]] = np.asarray(item["raydir"], np.float32)
+            d = -rd[seln]
+            d /= np.maximum(np.linalg.norm(d, axis=-1, keepdims=True), 1e-8)
+            adds["dirs"].append(d)
+            adds["conf"].append(maps["nerf_mass"][seln]
+                                * cfg.train.prob_mul)
 
 
 def finalize_probe_candidates(adds: Dict, cfg: PointNeRFConfig

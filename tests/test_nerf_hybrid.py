@@ -167,3 +167,71 @@ def test_gradients_reach_both_branches():
     assert nerf_norm > 0.0
     assert agg_norm > 0.0
     assert float(jnp.sum(jnp.abs(g_f))) > 0.0
+
+
+def test_creation_signals_consistent():
+    """nerf_mass/loc_w/color come out of the merged march: mass in [0,1],
+    locations on the ray between near and far."""
+    cfg = _cfg()
+    pc, st, params, grid, campos, camrot = setup(cfg)
+    ph = _params(cfg, params)
+    batch = make_batch(campos, camrot, R=32)
+    out = render_rays(ph, pc, st, grid, batch, cfg)
+    m = np.asarray(out.nerf_mass)
+    assert m.shape == (32, 1)
+    assert np.all(m >= 0.0) and np.all(m <= 1.0 + 1e-5)
+    loc = np.asarray(out.nerf_loc_w)
+    rd = np.asarray(batch.raydir)
+    t = np.sum((loc - np.asarray(campos)[None]) * rd, -1) / np.sum(rd * rd, -1)
+    sig = m[:, 0] > 1e-3  # rays with real field mass
+    if sig.any():
+        assert t[sig].min() >= cfg.render.near_plane - 1e-3
+        assert t[sig].max() <= cfg.render.far_plane + 1e-3
+
+
+def test_nerf_create_points_candidates():
+    """Probe accumulation turns confident field mass on missed rays into
+    grow candidates at the field's expected depth (synthetic maps)."""
+    from pointnerf_tpu.train.grow import (accumulate_probe_candidates,
+                                          finalize_probe_candidates)
+    cfg = _cfg()
+    cfg = cfg.replace(train=dataclasses.replace(
+        cfg.train, nerf_create_points=True, prob_thresh=0.5, prob_mul=0.4))
+    H = W = 4
+    n = H * W
+    pix = np.stack(np.meshgrid(np.arange(W), np.arange(H)), -1).reshape(-1, 2)
+    item = {"pixel_idx": pix,
+            "gt_image": np.full((n, 3), 0.5, np.float32),
+            "raydir": np.tile(np.array([0, 0, 1.0], np.float32), (n, 1))}
+    maps = {
+        "ray_mask": np.zeros((H, W, 1), np.float32),      # every ray missed
+        "ray_max_shading_opacity": np.zeros((H, W, 1), np.float32),
+        "ray_max_sample_loc_w": np.zeros((H, W, 3), np.float32),
+        "shading_avg_embedding": np.zeros(
+            (H, W, cfg.agg.point_features_dim), np.float32),
+        "shading_avg_color": np.zeros((H, W, 3), np.float32),
+        "shading_avg_dir": np.zeros((H, W, 3), np.float32),
+        "shading_avg_conf": np.zeros((H, W, 1), np.float32),
+        "nerf_mass": np.zeros((H, W, 1), np.float32),
+        "nerf_loc_w": np.zeros((H, W, 3), np.float32),
+        "nerf_color": np.zeros((H, W, 3), np.float32),
+    }
+    maps["nerf_mass"][1, 2, 0] = 0.9          # one confident field hit
+    maps["nerf_loc_w"][1, 2] = [0.1, 0.2, 3.0]
+    maps["nerf_color"][1, 2] = [1.0, 0.0, 0.0]
+    adds = {k: [] for k in ("xyz", "embedding", "color", "dirs", "conf")}
+    accumulate_probe_candidates(adds, maps, item, cfg, (W, H),
+                                np.ones(3, np.float32))
+    cand = finalize_probe_candidates(adds, cfg)
+    assert cand.xyz.shape == (1, 3)
+    np.testing.assert_allclose(cand.xyz[0], [0.1, 0.2, 3.0])
+    np.testing.assert_allclose(cand.color[0], [1.0, 0.0, 0.0])
+    np.testing.assert_allclose(cand.conf[0], [0.9 * 0.4], rtol=1e-6)
+    np.testing.assert_allclose(cand.dirs[0], [0, 0, -1.0])
+    # switch off -> no candidates
+    cfg0 = cfg.replace(train=dataclasses.replace(
+        cfg.train, nerf_create_points=False))
+    adds0 = {k: [] for k in ("xyz", "embedding", "color", "dirs", "conf")}
+    accumulate_probe_candidates(adds0, maps, item, cfg0, (W, H),
+                                np.ones(3, np.float32))
+    assert finalize_probe_candidates(adds0, cfg0).xyz.shape == (0, 3)
