@@ -265,9 +265,12 @@ def _render_local(mlp_params, pc_local: PointCloud, scene_local: PointGrid,
     # see identical jittered sample positions for their dp-shard's rays.
     # Split like render_rays: coarse jitter / fine resample draws.
     from ..config import effective_ray_generator, generator_kwargs
-    k_coarse = k_fine = None
+    k_coarse = k_fine = k_nerf = None
     if key is not None:
-        k_coarse, k_fine = jax.random.split(key)
+        if cfg.render.nerf_importance > 0:
+            k_coarse, k_fine, k_nerf = jax.random.split(key, 3)
+        else:
+            k_coarse, k_fine = jax.random.split(key)
     gen = RAY_GENERATORS[effective_ray_generator(cfg)]
     jitter = cfg.render.train_jitter if train else 0.0
     raypos, _seg, _t = gen(batch.campos, batch.raydir, q.z_depth_dim,
@@ -301,6 +304,20 @@ def _render_local(mlp_params, pc_local: PointCloud, scene_local: PointGrid,
     if cfg.render.fine_sample_num > 0 and not prob:
         out = _fine_local(mlp_params, pc_local, scene_local, Rw2c, batch,
                           cfg, out, k_fine, mp, compute_dtype, train)
+    if cfg.render.nerf_importance > 0 and "nerf" in mlp_params:
+        # proposal-NeRF hybrid rides the mesh trivially: the field MLP is
+        # replicated, `out` covers this shard's own ray block, so the
+        # merged march is purely local — only the block's raydir is needed.
+        # The jitter key is mp-replicated (different ray blocks draw the
+        # same stratification noise; det evals are bit-identical to the
+        # single-device hybrid).
+        from ..models.renderer import _hybrid_march
+        rs = batch.raydir.shape[0] // mp
+        my = jax.lax.axis_index("mp") if mp > 1 else 0
+        raydir_b = jax.lax.dynamic_slice_in_dim(batch.raydir, my * rs, rs, 0)
+        out = _hybrid_march(mlp_params, out, batch._replace(raydir=raydir_b),
+                            cfg, key=k_nerf, train=train,
+                            compute_dtype=compute_dtype)
     return out, gt_b
 
 
@@ -547,12 +564,6 @@ def make_sharded_train_step(cfg: PointNeRFConfig, mesh: Mesh):
     State layout: params['mlp'] replicated; params['points'] leaves
     [mp, cap_s, ...] sharded over mp (Adam state follows params, sharded by
     construction since optax state mirrors the param pytree)."""
-    if cfg.render.nerf_importance > 0:
-        raise NotImplementedError(
-            "the proposal-NeRF hybrid (render.nerf_importance) is "
-            "single-chip for now — the NeRF branch is replicated-MLP-only "
-            "and would ride the mesh trivially, but the merged march is "
-            "not wired into _render_local yet")
     dp, mp = mesh.shape["dp"], mesh.shape["mp"]
     tx = make_optimizer(cfg)
 
@@ -633,10 +644,8 @@ def make_sharded_eval_step(cfg: PointNeRFConfig, mesh: Mesh,
                                  key=None, train=False, mp=mp, prob=prob)
         # the per-shard overflow scalar can't ride the ray-sharded out_specs;
         # drivers read it from the training items instead (single-chip-only
-        # fields stripped likewise)
-        return out._replace(decode_dropped=None, sample_features=None,
-                            nerf_coarse_raycolor=None, nerf_mass=None,
-                            nerf_loc_w=None, nerf_color=None)
+        # fields stripped likewise; the hybrid outputs ride when enabled)
+        return out._replace(decode_dropped=None, sample_features=None)
 
     # Spec tree must mirror the output: None in the slots the sharded eval
     # never populates (None is an empty subtree on both sides). Name-based
@@ -660,6 +669,10 @@ def make_sharded_eval_step(cfg: PointNeRFConfig, mesh: Mesh,
         spec.update({f: sharded for f in probf})
     if fine_on:
         spec["fine_raycolor"] = sharded
+    if cfg.render.nerf_importance > 0:
+        spec.update({f: sharded for f in
+                     ("nerf_coarse_raycolor", "nerf_mass", "nerf_loc_w",
+                      "nerf_color")})
     out_specs = RenderOutput(**spec)
     eval_sm = jax.shard_map(
         device_eval, mesh=mesh,

@@ -356,6 +356,8 @@ def probe_hole_sharded(eval_prob_fn, params, scene, cfg: PointNeRFConfig,
     keys = ["coarse_raycolor", "ray_mask", "ray_max_sample_loc_w",
             "ray_max_shading_opacity", "shading_avg_color",
             "shading_avg_dir", "shading_avg_conf", "shading_avg_embedding"]
+    if cfg.render.nerf_importance > 0:
+        keys += ["nerf_mass", "nerf_loc_w", "nerf_color"]
     chunk = max(n_devices, (chunk // n_devices) * n_devices)
     for item in items:
         raydir = np.asarray(item["raydir"], np.float32)
