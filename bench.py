@@ -41,25 +41,10 @@ ITERS = 20
 
 def main():
     cfg = bench_config()
-    # optional A/B knobs (default bench behavior unchanged):
-    #   BENCH_KNN_SELECT=argmin|sort   BENCH_DECODE_CAPACITY=0.125
-    import dataclasses
-    knob = os.environ.get("BENCH_KNN_SELECT")
-    if knob:
-        cfg = cfg.replace(query=dataclasses.replace(cfg.query,
-                                                    knn_select=knob))
-    knob = os.environ.get("BENCH_DECODE_CAPACITY")
-    if knob:
-        cfg = cfg.replace(query=dataclasses.replace(
-            cfg.query, decode_capacity=float(knob)))
-    knob = os.environ.get("BENCH_GATHER_BWD")
-    if knob:
-        cfg = cfg.replace(query=dataclasses.replace(cfg.query,
-                                                    gather_bwd=knob))
-    knob = os.environ.get("BENCH_SLOT_SELECT")
-    if knob:
-        cfg = cfg.replace(query=dataclasses.replace(cfg.query,
-                                                    slot_select=knob))
+    # optional A/B knobs (default bench behavior unchanged) — shared
+    # reader, see config.apply_bench_env_knobs for the knob list
+    from pointnerf_tpu.config import apply_bench_env_knobs
+    cfg = apply_bench_env_knobs(cfg)
     pc, st, params, grid = _scene_state(cfg, n_pts=N_POINTS)
     state = create_train_state(jax.random.PRNGKey(0), params, pc, cfg)
     batch = _batch(cfg, n_rays=N_RAYS)

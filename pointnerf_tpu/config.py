@@ -301,6 +301,15 @@ class TrainConfig:
     # offspring jitter radius in voxel-size multiples, applied TANGENTIALLY
     # to the parent's dir (surface normal) so thin sheets densify in-plane
     split_jitter: float = 0.5
+    # Per-point hit-counter/grad-EMA tracking. The counter scatter-add is a
+    # collision-heavy [R*SR*K] -> [capacity] update — the exact pattern the
+    # gather_bwd="sort" note documents as serialized on TPU — so it must
+    # not ride the hot path when nothing reads it. None = auto: track iff a
+    # consumer lever is on (hit_lr_boost > 1, prune_min_hits > 0,
+    # split_iter > 0). True forces tracking (hits_pct calibration runs),
+    # False forces it off. jit_canonical resolves auto BEFORE zeroing the
+    # schedule-only fields it depends on.
+    track_hits: Optional[bool] = None
     # proposal-NeRF point creation (reference --nerf_create_points,
     # multiseq_model.py:413-417): probe frames turn missed rays whose
     # radiance-field blend mass exceeds prob_thresh into grow candidates at
@@ -398,6 +407,46 @@ def generator_kwargs(cfg: PointNeRFConfig) -> Tuple:
     return ()
 
 
+def apply_bench_env_knobs(cfg: PointNeRFConfig) -> PointNeRFConfig:
+    """One shared reader for the perf A/B env knobs so bench.py,
+    scripts/quality_bench.py, and scripts/trace_step.py can never drift on
+    which knobs they honor:
+      BENCH_KNN_SELECT=sort|argmin|topk|pallas
+      BENCH_SLOT_SELECT=sort|scatter
+      BENCH_GATHER_BWD=scatter|sort
+      BENCH_DECODE_CAPACITY=<float>
+      BENCH_TRACK_HITS=0|1
+    """
+    import os
+    q = {}
+    for env, field in (("BENCH_KNN_SELECT", "knn_select"),
+                       ("BENCH_SLOT_SELECT", "slot_select"),
+                       ("BENCH_GATHER_BWD", "gather_bwd")):
+        v = os.environ.get(env)
+        if v:
+            q[field] = v
+    v = os.environ.get("BENCH_DECODE_CAPACITY")
+    if v:
+        q["decode_capacity"] = float(v)
+    if q:
+        cfg = cfg.replace(query=dataclasses.replace(cfg.query, **q))
+    v = os.environ.get("BENCH_TRACK_HITS")
+    if v:
+        cfg = cfg.replace(train=dataclasses.replace(
+            cfg.train, track_hits=v not in ("0", "false")))
+    return cfg
+
+
+def hits_tracked(cfg: PointNeRFConfig) -> bool:
+    """Resolve TrainConfig.track_hits (None = auto: on iff a consumer
+    lever is enabled)."""
+    t = cfg.train
+    if t.track_hits is not None:
+        return t.track_hits
+    return (t.hit_lr_boost > 1.0 or t.prune_min_hits > 0
+            or t.split_iter > 0)
+
+
 def jit_canonical(cfg: PointNeRFConfig) -> PointNeRFConfig:
     """Zero out fields that never enter jitted computation (schedules,
     logging, IO cadence) so configs differing only in those share one
@@ -410,7 +459,9 @@ def jit_canonical(cfg: PointNeRFConfig) -> PointNeRFConfig:
             prob_mul=0.0, save_iter_freq=0, test_freq=0, print_freq=0,
             seed=0, random_sample="", random_sample_size=0, batch_size=0,
             prune_min_hits=0.0, split_iter=0, split_top=0,
-            split_jitter=0.0),
+            split_jitter=0.0,
+            # resolved BEFORE the schedule fields it reads are zeroed
+            track_hits=hits_tracked(cfg)),
         data=DataConfig())
 
 

@@ -172,15 +172,22 @@ def read_waymo_tfrecord(path: str, frames_length: int = 30,
         emitted += 1
         frame = open_dataset.Frame()
         frame.ParseFromString(bytearray(data.numpy()))
-        cam = frame.images[camera]
+        # repeated proto fields carry NO camera ordering guarantee — sort by
+        # camera name so `camera` indexes the same physical camera in
+        # images, calibrations, AND the LiDAR projection mask below
+        # (0 = FRONT; the reference sorts likewise, load_waymo.py:204)
+        images_sorted = sorted(frame.images, key=lambda i: i.name)
+        cam = images_sorted[camera]
         pose_veh2world = np.reshape(
             np.array(frame.pose.transform, np.float32), (4, 4))
         img = (np.array(tf.image.decode_jpeg(cam.image)) / 255.0
                ).astype(np.float32)
         if K is None:
-            calib = frame.context.camera_calibrations[camera]
+            calib = sorted(frame.context.camera_calibrations,
+                           key=lambda c: c.name)[camera]
             intr = calib.intrinsic
-            K = np.array([[intr[0], 0, intr[2]], [0, intr[0], intr[3]],
+            # waymo intrinsic layout: [f_u, f_v, c_u, c_v, k1..k3, p1, p2]
+            K = np.array([[intr[0], 0, intr[2]], [0, intr[1], intr[3]],
                           [0, 0, 1]], np.float32)
             dist = np.asarray(intr[4:9], np.float32)
             pose_cam2veh = np.array(calib.extrinsic.transform,
@@ -196,8 +203,9 @@ def read_waymo_tfrecord(path: str, frames_length: int = 30,
                 frame, ri, cp, top_pose)
             pa = np.concatenate(points, axis=0).astype(np.float32)
             cpa = np.concatenate(cp_points, axis=0)
-            images = sorted(frame.images, key=lambda i: i.name)
-            mask = cpa[..., 0] == images[0].name
+            # keep points projecting into THE exported camera (same sorted
+            # index as `cam` above)
+            mask = cpa[..., 0] == images_sorted[camera].name
             p_vehicle = pa[mask]
             points_world = (pose_veh2world[:3, :3] @ p_vehicle.T
                             + pose_veh2world[:3, 3][:, None]).T

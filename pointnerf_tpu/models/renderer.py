@@ -543,9 +543,14 @@ def _hybrid_march(params: Dict, out: RenderOutput, batch: RayBatch,
     dists = jnp.concatenate(
         [z_s[:, 1:] - z_s[:, :-1],
          jnp.full(z_s[:, :1].shape, vz, jnp.float32)], axis=-1)
-    # gaps into the sorted-to-back invalid block are meaningless: clamp to
-    # one voxel (the reference's ray_dist[ray_dist>100]=vsize, :378)
-    dists = jnp.where(dists > (r.far_plane - r.near_plane), vz, dists)
+    # a gap whose far end is an invalid sample (the sorted-to-back block at
+    # far+1) is meaningless — the last VALID sample would otherwise absorb a
+    # multi-unit integration distance. Clamp it to one voxel by looking at
+    # the NEXT slot's validity (the reference's coarser
+    # ray_dist[ray_dist>100]=vsize, :378, only fires on its huge-z padding).
+    nxt_invalid = jnp.concatenate(
+        [~valid_s[:, 1:], jnp.ones(valid_s[:, :1].shape, bool)], axis=-1)
+    dists = jnp.where(nxt_invalid, vz, dists)
 
     render_func = RENDER_FUNCS[cfg.render.which_render_func]
     blend_func = BLEND_FUNCS[cfg.render.which_blend_func]

@@ -181,20 +181,38 @@ def partition_points_multiseq(clouds, key, cfg: PointNeRFConfig, mp: int,
                                  for r in rest))
             shard_seq[s] = j if shard_seq[s] in (-1, j) else -1
 
-    def cat(parts, i):
-        if any(p[i] is None for p in parts):
+    # per-payload defaults matching make_point_cloud's missing-payload init,
+    # so a MIXED shard (mp < n_seq) keeps the real payloads of sequences
+    # that have them instead of silently random-initing the whole shard
+    def _default(i, n, rng):
+        if i == 1:   # feature — 'rand' init, uniform(0,1)*1e-2
+            if cfg.points.feature_init_method == "zeros":
+                return np.zeros((n, cfg.agg.point_features_dim), np.float32)
+            return rng.rand(n, cfg.agg.point_features_dim).astype(
+                np.float32) * 0.01
+        if i == 4:   # conf
+            return np.full((n, 1), cfg.points.default_conf, np.float32)
+        return np.zeros((n, 3), np.float32)  # color / dirs
+
+    def cat(parts, i, rng=None):
+        if all(p[i] is None for p in parts):
             return None
-        return np.concatenate([p[i] for p in parts])
+        return np.concatenate(
+            [p[i] if p[i] is not None else _default(i, p[0].shape[0], rng)
+             for p in parts])
 
     per = [cat(p, 0) for p in shard_parts]
     cap = capacity_per_shard or round_capacity(max(x.shape[0] for x in per))
     keys = jax.random.split(key, mp)
     shards, counts = [], []
     for s in range(mp):
+        rng = np.random.RandomState(1000 + s)
         pc_s, st_s = make_point_cloud(
             per[s], keys[s], cfg.points, cfg.agg.point_features_dim,
-            features=cat(shard_parts[s], 1), color=cat(shard_parts[s], 2),
-            dirs=cat(shard_parts[s], 3), conf=cat(shard_parts[s], 4),
+            features=cat(shard_parts[s], 1, rng),
+            color=cat(shard_parts[s], 2, rng),
+            dirs=cat(shard_parts[s], 3, rng),
+            conf=cat(shard_parts[s], 4, rng),
             capacity=cap)
         shards.append(pc_s)
         counts.append(int(st_s.num_active))

@@ -62,12 +62,19 @@ def load_checkpoint(path: str, template: TrainState
     try:
         restored = ckptr.restore(os.path.join(path, "state"),
                                  item=jax.tree.map(np.asarray, template))
-    except Exception:
-        # pre-hits on-disk layout: retry without the counters
-        restored = ckptr.restore(os.path.join(path, "state"),
-                                 item=jax.tree.map(
-                                     np.asarray,
-                                     template._replace(hits=None)))
+    except Exception as first_err:
+        # pre-hits on-disk layout: retry without the counters. If the retry
+        # ALSO fails the problem is not the hits layout (corrupt file,
+        # param-tree/shape mismatch, ...) — re-raise the ORIGINAL error so
+        # the real mismatch stays visible instead of a misleading second
+        # failure from the legacy-layout template.
+        try:
+            restored = ckptr.restore(os.path.join(path, "state"),
+                                     item=jax.tree.map(
+                                         np.asarray,
+                                         template._replace(hits=None)))
+        except Exception:
+            raise first_err
     state = jax.tree.map(jax.numpy.asarray, restored)
     state = TrainState(*state) if not isinstance(restored, TrainState) else state
     if state.hits is None and template.hits is not None:

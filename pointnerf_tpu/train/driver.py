@@ -88,6 +88,17 @@ class ItemPrefetcher:
         self._stop.set()
 
 
+def init_mlp_params(key, cfg: PointNeRFConfig):
+    """Aggregator params + the proposal-NeRF field branch when enabled —
+    every entry point that builds or restores a param tree must use this so
+    hybrid checkpoints round-trip (params["nerf"] is part of the template)."""
+    params = init_aggregator_params(key, cfg.agg)
+    if cfg.render.nerf_importance > 0:
+        from ..models.nerf_branch import init_nerf_params
+        params["nerf"] = init_nerf_params(jax.random.fold_in(key, 7), cfg)
+    return params
+
+
 def _to_batch(item: Dict, cfg: PointNeRFConfig) -> RayBatch:
     return RayBatch(
         campos=jnp.asarray(item["campos"]),
@@ -163,12 +174,7 @@ def train_scene(cfg: PointNeRFConfig,
     pc, st = make_point_cloud(xyz, k1, cfg.points, cfg.agg.point_features_dim,
                               features=features, conf=conf,
                               color=color, dirs=normals)
-    params = init_aggregator_params(k2, cfg.agg)
-    if cfg.render.nerf_importance > 0:
-        # proposal-NeRF hybrid branch (models/nerf_branch.py) trains in the
-        # mlp param group alongside the aggregator
-        from ..models.nerf_branch import init_nerf_params
-        params["nerf"] = init_nerf_params(jax.random.fold_in(k2, 7), cfg)
+    params = init_mlp_params(k2, cfg)
     state = create_train_state(k3, params, pc, cfg)
 
     if resume:
@@ -270,7 +276,8 @@ def train_scene(cfg: PointNeRFConfig,
                          lpips=step_i + t.test_freq > max_steps)
             m["step"] = step_i
             m["wall_s"] = time.time() - t0
-            if state.hits is not None:
+            from ..config import hits_tracked
+            if state.hits is not None and hits_tracked(cfg):
                 # cumulative neighbor-hit distribution over active points —
                 # calibrates TrainConfig.prune_min_hits (under-hit floor)
                 h = np.asarray(state.hits[:max(1, int(st.num_active)), 0])
@@ -423,7 +430,7 @@ def train_scene_sharded(cfg: PointNeRFConfig, mesh,
     k1, k2, k3 = jax.random.split(jax.random.PRNGKey(cfg.train.seed), 3)
     pc_s, num_active = partition_points(xyz, k1, cfg, mp=mp, color=color,
                                         dirs=normals)
-    params = init_aggregator_params(k2, cfg.agg)
+    params = init_mlp_params(k2, cfg)
     scene = build_sharded_scene(pc_s, num_active, jcfg, mesh)
     state, scene = create_sharded_train_state(k3, params, pc_s, scene, jcfg,
                                               mesh)
@@ -739,7 +746,7 @@ def test_dataset_scene(dataset_name: str, data_root: str, scan: str,
                               cfg.agg.point_features_dim,
                               color=cloud.get("color"),
                               dirs=cloud.get("normal"))
-    state = create_train_state(k3, init_aggregator_params(k2, cfg.agg), pc,
+    state = create_train_state(k3, init_mlp_params(k2, cfg), pc,
                                cfg)
     path = latest_checkpoint(run_dir)
     if path is None:
@@ -783,7 +790,7 @@ def render_video_from_checkpoint(dataset_name: str, data_root: str,
                               cfg.agg.point_features_dim,
                               color=cloud.get("color"),
                               dirs=cloud.get("normal"))
-    state = create_train_state(k3, init_aggregator_params(k2, cfg.agg), pc,
+    state = create_train_state(k3, init_mlp_params(k2, cfg), pc,
                                cfg)
     path = latest_checkpoint(run_dir)
     if path is None:

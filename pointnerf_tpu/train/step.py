@@ -75,15 +75,19 @@ def loss_fn(params, st: PointCloudStatic, grid: PointGrid, batch: RayBatch,
     if batch.gt_image is not None:
         items["per_ray_err"] = jax.lax.stop_gradient(
             jnp.mean((out.coarse_raycolor - batch.gt_image) ** 2, axis=-1))
-    # per-point neighbor-hit increment for the starvation levers
-    cap = params["points"].capacity
-    inc = jnp.zeros((cap,), jnp.float32)
-    for pidx in (out.neighbor_pidx, out.fine_neighbor_pidx):
-        if pidx is not None:
-            flat = pidx.reshape(-1)
-            inc = inc.at[jnp.where(flat >= 0, flat, cap)].add(
-                1.0, mode="drop")
-    items["hit_inc"] = inc
+    # per-point neighbor-hit increment for the starvation levers — a
+    # collision-heavy scatter, traced out entirely when no lever reads it
+    # (config.hits_tracked)
+    from ..config import hits_tracked
+    if hits_tracked(cfg):
+        cap = params["points"].capacity
+        inc = jnp.zeros((cap,), jnp.float32)
+        for pidx in (out.neighbor_pidx, out.fine_neighbor_pidx):
+            if pidx is not None:
+                flat = pidx.reshape(-1)
+                inc = inc.at[jnp.where(flat >= 0, flat, cap)].add(
+                    1.0, mode="drop")
+        items["hit_inc"] = inc
     return total, items
 
 
@@ -100,9 +104,9 @@ def train_step(state: TrainState, st: PointCloudStatic, grid: PointGrid,
     updates, new_opt = alternated_update(tx, grads, state.opt_state,
                                          state.params, state.step,
                                          cfg.train.alter_step)
-    hit_inc = items.pop("hit_inc")
+    hit_inc = items.pop("hit_inc", None)
     new_hits = state.hits
-    if state.hits is not None:
+    if state.hits is not None and hit_inc is not None:
         d = cfg.train.hit_ema_decay
         # per-point payload gradient norm (post grad-flags, pre-boost): the
         # splitting score (grow.py split_high_grad) reads its EMA

@@ -79,23 +79,15 @@ def build_config(xyz, steps: int, rays_side: int = 60,
             prob_freq=prob_freq, test_freq=max(250, steps // 40),
             print_freq=200, save_iter_freq=max(1000, steps // 10),
             hit_lr_boost=hit_boost, prune_min_hits=prune_min_hits,
-            split_iter=split_iter, split_top=split_top),
+            split_iter=split_iter, split_top=split_top,
+            # quality runs always track: eval hits_pct percentiles
+            # calibrate prune_min_hits (PERF.md protocol)
+            track_hits=True),
         parallel=ParallelConfig(remat=False))
-    # honor the same perf A/B knobs as bench.py so quality runs can ride
-    # whichever selection mode the on-chip A/B picked
-    knob = os.environ.get("BENCH_KNN_SELECT")
-    if knob:
-        cfg = cfg.replace(query=dataclasses.replace(cfg.query,
-                                                    knn_select=knob))
-    knob = os.environ.get("BENCH_GATHER_BWD")
-    if knob:
-        cfg = cfg.replace(query=dataclasses.replace(cfg.query,
-                                                    gather_bwd=knob))
-    knob = os.environ.get("BENCH_SLOT_SELECT")
-    if knob:
-        cfg = cfg.replace(query=dataclasses.replace(cfg.query,
-                                                    slot_select=knob))
-    return cfg
+    # honor the same perf A/B knobs as bench.py (shared reader) so quality
+    # runs ride whichever selection mode the on-chip A/B picked
+    from pointnerf_tpu.config import apply_bench_env_knobs
+    return apply_bench_env_knobs(cfg)
 
 
 def main():

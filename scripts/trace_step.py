@@ -28,20 +28,9 @@ N_POINTS = 65536
 def main():
     outdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/trace_step"
     cfg = bench_config()
-    # same A/B knobs as bench.py so each variant can be traced
-    import dataclasses
-    knob = os.environ.get("BENCH_KNN_SELECT")
-    if knob:
-        cfg = cfg.replace(query=dataclasses.replace(cfg.query,
-                                                    knn_select=knob))
-    knob = os.environ.get("BENCH_GATHER_BWD")
-    if knob:
-        cfg = cfg.replace(query=dataclasses.replace(cfg.query,
-                                                    gather_bwd=knob))
-    knob = os.environ.get("BENCH_SLOT_SELECT")
-    if knob:
-        cfg = cfg.replace(query=dataclasses.replace(cfg.query,
-                                                    slot_select=knob))
+    # same A/B knobs as bench.py (shared reader)
+    from pointnerf_tpu.config import apply_bench_env_knobs
+    cfg = apply_bench_env_knobs(cfg)
     pc, st, params, grid = _scene_state(cfg, n_pts=N_POINTS)
     state = create_train_state(jax.random.PRNGKey(0), params, pc, cfg)
     batch = _batch(cfg, n_rays=N_RAYS)

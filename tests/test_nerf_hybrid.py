@@ -130,7 +130,9 @@ def test_merged_march_oracle():
     vz = cfg.query.vsize[2]
     d = np.concatenate([z_s[:, 1:] - z_s[:, :-1],
                         np.full_like(z_s[:, :1], vz)], -1)
-    d = np.where(d > cfg.render.far_plane - cfg.render.near_plane, vz, d)
+    nxt_inv = np.concatenate(
+        [~v_s[:, 1:], np.ones_like(v_s[:, :1])], -1)
+    d = np.where(nxt_inv, vz, d)
     sigma = np.where(v_s, f_s[..., 0], 0.0)
     alpha = 1.0 - np.exp(-sigma * d)
     acc = np.cumprod(1.0 - alpha + 1e-10, -1)

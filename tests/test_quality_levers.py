@@ -30,7 +30,9 @@ def _state(cfg, pc):
 
 
 def test_hit_counters_accumulate_and_match_neighbor_ids():
+    # tracking is traced out by default (config.hits_tracked auto); force on
     cfg = tiny_test_config()
+    cfg = _train_cfg(cfg, track_hits=True)
     pc, st, params, grid, campos, camrot = setup(cfg)
     batch = make_batch(campos, camrot, R=64)
     state = _state(cfg, pc)

@@ -36,7 +36,7 @@ def _state(cfg, seed=0):
 
 
 def test_grad_ema_accumulates():
-    cfg = _cfg()
+    cfg = _cfg(split_iter=5)  # a split consumer turns hit tracking on
     state, st, grid, campos, camrot = _state(cfg)
     assert state.hits.shape[1] == 3
     batch = make_batch(campos, camrot, R=96)
