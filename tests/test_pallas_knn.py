@@ -8,6 +8,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from pointnerf_tpu.config import tiny_test_config
 from pointnerf_tpu.ops.grid import build_grid
@@ -100,3 +101,40 @@ def test_pallas_full_render_parity():
     np.testing.assert_allclose(np.asarray(out_p.coarse_raycolor),
                                np.asarray(out_s.coarse_raycolor),
                                rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("seed", range(12))
+def test_pallas_fuzz_many_configs(seed):
+    """Randomized config sweep: K/P/kernel-size/radius/point-count/center
+    shapes drawn per seed, winner sets must match the sort path exactly."""
+    rng = np.random.RandomState(100 + seed)
+    n = int(rng.choice([33, 128, 700, 2048]))
+    K = int(rng.choice([1, 4, 8, 16]))
+    P = int(rng.choice([4, 9, 16]))
+    ks = int(rng.choice([1, 3, 5]))
+    rscale = float(rng.choice([0.5, 2.0, 4.0, 8.0]))
+    cfg = tiny_test_config()
+    q = dataclasses.replace(cfg.query, prebuild_neighbors=True,
+                            shell_layered=False, NN=2, K=K, P=P,
+                            kernel_size=(ks, ks, ks),
+                            query_size=(ks, ks, ks),
+                            radius_limit_scale=rscale)
+    cfg = cfg.replace(query=q)
+    xyz = jnp.asarray(rng.uniform(-0.95, 0.95, size=(n, 3))
+                      .astype(np.float32))
+    r = int(rng.choice([1, 3, 17]))
+    sr = int(rng.choice([1, 5, 11]))
+    loc = jnp.asarray(rng.uniform(-1.1, 1.1, size=(r, sr, 3))
+                      .astype(np.float32))
+    mask = jnp.asarray(rng.rand(r, sr) > 0.3)
+    cfg_s = cfg.replace(query=dataclasses.replace(q, knn_select="sort"))
+    cfg_p = cfg.replace(query=dataclasses.replace(q, knn_select="pallas"))
+    pid_s, d2_s = _run(cfg_s, xyz, loc, mask)
+    pid_p, d2_p = _run(cfg_p, xyz, loc, mask)
+    np.testing.assert_array_equal(np.asarray(pid_p), np.asarray(pid_s),
+                                  err_msg=f"seed={seed} n={n} K={K} P={P} "
+                                          f"ks={ks} r={rscale}")
+    ok = np.isfinite(np.asarray(d2_s))
+    np.testing.assert_allclose(np.asarray(d2_p)[ok], np.asarray(d2_s)[ok],
+                               rtol=1e-6, atol=1e-7)
