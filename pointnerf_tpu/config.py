@@ -54,9 +54,12 @@ class QueryConfig:
     # chunk size (shading points) for the XLA KNN to bound gather memory
     knn_chunk: int = 65536
     # Shading-slot selection formulation (ops/query.select_shading_points):
-    # "sort" = one ascending [R, D] i32 sort; "scatter" = cumsum rank +
-    # unique-destination scatter (one linear pass). Identical results.
-    slot_select: str = "sort"
+    # "merge" = sort-merge occupancy membership (zero occupancy-table
+    # gathers — two lax.sorts over samples + occupied-cell list; fastest
+    # measured on-chip, runs/perf_ab_r04.jsonl); "sort" = occupancy gather
+    # + one ascending [R, D] i32 sort; "scatter" = occupancy gather +
+    # cumsum rank + unique-destination scatter. Identical results.
+    slot_select: str = "merge"
     # Final K-of-candidates selection on the prebuilt-table path:
     # "sort" = one two-operand lax.sort of the [C, Q*P] block;
     # "argmin" = K argmin+mask sweeps (~10x less HBM traffic on the

@@ -17,6 +17,7 @@ from typing import Dict, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..camera import w2pers
 from ..config import PointNeRFConfig, effective_ray_generator as _effective_gen
@@ -267,6 +268,42 @@ def expand_compact(a_c, keep, cvalid, fill, R: int, SR: int):
     return full.reshape((R, SR) + a.shape[1:])
 
 
+def expand_compact_many(arrs_fills, keep, cvalid, R: int, SR: int):
+    """One packed scatter-set for several compact tensors at once.
+
+    Each (a_c [C(,1)(,w)], fill) pair is flattened to [C, w] f32, packed
+    into a single [C, Σw] row, expanded with ONE unique-destination
+    scatter (round-4 trace: five separate expand_compact scatters cost
+    ~1.5 ms each; the packed row costs one — random-access cost on this
+    chip is per ROW, not per byte), and split back. Values are exactly
+    those of per-tensor expand_compact."""
+    RS = R * SR
+    cols, fills, shapes, dtypes = [], [], [], []
+    for a_c, fill in arrs_fills:
+        a = a_c[:, 0] if a_c.ndim > 1 and a_c.shape[1] == 1 else a_c
+        shapes.append(a.shape[1:])
+        dtypes.append(a.dtype)
+        w = int(np.prod(a.shape[1:], dtype=np.int64)) if a.ndim > 1 else 1
+        cols.append(a.reshape(a.shape[0], w).astype(jnp.float32))
+        fills.append(jnp.full((w,), fill, jnp.float32))
+    C = cols[0].shape[0]
+    packed = jnp.concatenate(cols, axis=-1)                   # [C, W]
+    base = jnp.broadcast_to(jnp.concatenate(fills), (RS, packed.shape[1]))
+    dst = jnp.where(cvalid, keep, RS + jnp.arange(C, dtype=jnp.int32))
+    full = base.at[dst].set(packed, mode="drop", unique_indices=True)
+    outs, off = [], 0
+    for shp, dt in zip(shapes, dtypes):
+        w = int(np.prod(shp, dtype=np.int64)) if shp else 1
+        piece = full[:, off:off + w].reshape((R, SR) + shp)
+        if dt == jnp.bool_:
+            piece = piece > 0.5
+        else:
+            piece = piece.astype(dt)
+        outs.append(piece)
+        off += w
+    return outs
+
+
 def decode_compacted(params: Dict, cfg: PointNeRFConfig, sp, cloc, cloc_w,
                      craydir, Rw2c, compute_dtype):
     """Aggregate a compact [C, 1, K] neighbor batch (remat-wrapped like the
@@ -342,15 +379,14 @@ def shade_compacted(params: Dict, cfg: PointNeRFConfig, pc: PointCloud,
     agg = decode_compacted(params, cfg, sp, cloc, cloc_w, craydir, Rw2c,
                            compute_dtype)
 
-    # scatter back to the dense [R, SR] frame
-    features = expand_compact(agg.features, keep, cvalid, 0.0, R, SR)
-    weight = expand_compact(agg.weight, keep, cvalid, 0.0, R, SR)
-    conf_coeff = expand_compact(agg.conf_coefficient, keep, cvalid,
-                                conf_coeff_fill(cfg, pc), R, SR)
-    ray_valid = expand_compact(agg.ray_valid, keep, cvalid, False, R, SR)
-    # dense post-KNN sample mask: slots whose query found >= 1 neighbor —
-    # governs sample_loc zeroing (cummax ray-dist parity) and ray_mask
-    final_mask = expand_compact(cmask, keep, cvalid, False, R, SR)  # [R, SR]
+    # scatter back to the dense [R, SR] frame — ONE packed row per slot
+    # (final_mask: dense post-KNN sample mask — slots whose query found
+    # >= 1 neighbor; governs sample_loc zeroing / ray_mask)
+    features, weight, conf_coeff, ray_valid, final_mask = expand_compact_many(
+        [(agg.features, 0.0), (agg.weight, 0.0),
+         (agg.conf_coefficient, conf_coeff_fill(cfg, pc)),
+         (agg.ray_valid, False), (cmask, False)],
+        keep, cvalid, R, SR)
 
     sample_loc = w2pers(sample_loc_w, batch.camrotc2w, batch.campos)
     sample_loc = jnp.where(final_mask[..., None], sample_loc, 0.0)

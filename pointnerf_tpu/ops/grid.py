@@ -63,6 +63,13 @@ class PointGrid(NamedTuple):
     vox_dslot: Optional[jnp.ndarray] = None  # [G] int32 cell -> dilated slot
     nbr_xyz: Optional[jnp.ndarray] = None    # [max_d, Q*P, 3] f32 (dead=1e8)
     nbr_pid: Optional[jnp.ndarray] = None    # [max_d, Q*P] int32 (-1 pad)
+    # Sorted DILATED-occupied voxel ids (G-padded), the same cell set vox_occ
+    # marks (up to the max_d cap). Consumed by the sort-merge shading-slot
+    # selection (ops/query.py slot_select="merge"), which replaces the [R, D]
+    # per-element occupancy gather — ~7.6 ns/row on this chip, 11 ms/step at
+    # the lego budget — with two lax.sorts. Duplicates are harmless there, so
+    # sharded callers may concatenate shard lists without dedup.
+    occ_vids: Optional[jnp.ndarray] = None   # [max_d] int32 sorted, pad G
 
 
 def grid_meta(cfg: QueryConfig) -> GridMeta:
@@ -173,6 +180,26 @@ def build_grid(xyz: jnp.ndarray, num_active: jnp.ndarray, cfg: QueryConfig) -> P
     bucket_xyz = jnp.where((bucket_pnt >= 0)[..., None],
                            xyz[jnp.maximum(bucket_pnt, 0)], 1.0e8)
 
+    # Deduped sorted dilated-occupied cell list (consumed by the merge slot
+    # selection always, and by the prebuilt neighbor tables below). The
+    # merge list must be COMPLETE to match vox_occ exactly, so when
+    # cfg.max_d is unset it falls back to the true bound min(G, max_o*Qd)
+    # (<= max_o claimed voxels dilated by Qd offsets) rather than the
+    # prebuilt tables' memory-driven 4*max_o heuristic.
+    Qd = offs.shape[0]
+    max_d = cfg.max_d or 4 * max_o
+    max_dv = cfg.max_d or min(G, max_o * Qd)
+    dil = jnp.sort(nvid.reshape(-1))                  # [max_o * Qd]
+    d_new = jnp.concatenate([jnp.ones((1,), bool),
+                             dil[1:] != dil[:-1]]) & (dil < G)
+    drank = jnp.cumsum(d_new.astype(jnp.int32)) - 1
+    dv_ok = d_new & (drank >= 0) & (drank < max_dv)
+    occ_vids = jnp.full((max_dv,), G, jnp.int32).at[
+        jnp.where(dv_ok, drank, max_dv)].set(dil, mode="drop")
+    d_ok = d_new & (drank >= 0) & (drank < max_d)
+    dil_vid = jnp.full((max_d,), G, jnp.int32).at[
+        jnp.where(d_ok, drank, max_d)].set(dil, mode="drop")
+
     vox_dslot = nbr_xyz = nbr_pid = None
     if cfg.prebuild_neighbors:
         assert all(q >= k for q, k in zip(cfg.query_size, cfg.kernel_size)), \
@@ -183,14 +210,6 @@ def build_grid(xyz: jnp.ndarray, num_active: jnp.ndarray, cfg: QueryConfig) -> P
         # positions/ids contiguously. Query-time cost drops to one streaming
         # row read per shading point; this build-side gather runs only on
         # point-set changes.
-        max_d = cfg.max_d or 4 * max_o
-        dil = jnp.sort(nvid.reshape(-1))                  # [max_o * Qd]
-        d_new = jnp.concatenate([jnp.ones((1,), bool),
-                                 dil[1:] != dil[:-1]]) & (dil < G)
-        drank = jnp.cumsum(d_new.astype(jnp.int32)) - 1
-        d_ok = d_new & (drank >= 0) & (drank < max_d)
-        dil_vid = jnp.full((max_d,), G, jnp.int32).at[
-            jnp.where(d_ok, drank, max_d)].set(dil, mode="drop")
         vox_dslot = jnp.full((G,), -1, jnp.int32).at[
             jnp.where(d_ok, dil, G)].set(drank, mode="drop")
 
@@ -212,4 +231,4 @@ def build_grid(xyz: jnp.ndarray, num_active: jnp.ndarray, cfg: QueryConfig) -> P
                      bucket_cnt=bucket_cnt,
                      num_occ=jnp.asarray(num_occ, jnp.int32),
                      bucket_xyz=bucket_xyz, vox_dslot=vox_dslot,
-                     nbr_xyz=nbr_xyz, nbr_pid=nbr_pid)
+                     nbr_xyz=nbr_xyz, nbr_pid=nbr_pid, occ_vids=occ_vids)

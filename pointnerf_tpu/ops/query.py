@@ -260,36 +260,78 @@ def select_shading_points(raypos: jnp.ndarray, grid: PointGrid, meta: GridMeta,
     raypos: [R, D, 3] -> (sample_loc_w [R,SR,3], sample_mask [R,SR]).
     """
     R, D, _ = raypos.shape
+    G = meta.num_cells
     coor = voxel_coords(raypos, meta)
     vid, inb = flat_vid(coor, meta)                      # [R, D]
-    occ = grid.vox_occ[jnp.minimum(vid, grid.vox_occ.shape[0] - 1)]
-    hit = inb & (occ > 0)                                # [R, D]
 
-    # Two equivalent formulations pick the first SR hit positions per ray in
-    # depth order (select via QueryConfig.slot_select):
-    #  - "sort": key = d for hits, D + d for misses; one ascending [R, D]
-    #    i32 sort packs hits to the front; the first SR keys ARE the slot
-    #    indices. (Replaced the round-1 dense [R, SR, D] comparison-sum —
-    #    a 115M-element intermediate, ~11 ms/step at the lego budget;
-    #    vmapped searchsorted is worse still, lowering to a serial loop.)
+    # Three equivalent formulations pick the first SR hit positions per ray
+    # in depth order (select via QueryConfig.slot_select):
+    #  - "merge" (default): zero occupancy-table gathers. A per-element
+    #    [R, D] gather costs ~7.6 ns/row on this chip (11 ms/step at the
+    #    lego budget) while lax.sort moves the same elements ~10x cheaper,
+    #    so membership is computed by SORTING the occupied-cell list
+    #    together with the sample vids: occupied cells get even keys 2*vid,
+    #    samples odd keys 2*vid+1; after one 2-operand sort, a cummax of
+    #    the even keys tells each sample whether its own cell is occupied
+    #    (run == key-1). A second 1-operand sort of
+    #    key2 = ray*2D + (hit ? d : D+d) lands each ray's D entries in a
+    #    contiguous block (key ranges are disjoint per ray), hits first in
+    #    depth order — the first SR of each block ARE the slot indices.
+    #  - "sort": gather dilated occupancy at each sample, then key = d for
+    #    hits / D + d for misses; one ascending [R, D] i32 sort packs hits
+    #    to the front. (Replaced the round-1 dense [R, SR, D]
+    #    comparison-sum — a 115M-element intermediate; vmapped
+    #    searchsorted is worse still, lowering to a serial loop.)
     #  - "scatter": rank = exclusive cumsum of hits; each hit scatters its
     #    depth index into dense slot `rank` (unique destinations, misses
     #    dropped). One linear pass instead of ~log^2(D) bitonic stages.
+    # All three produce identical (sample_loc_w, sample_mask); "merge"
+    # additionally requires the dilated-occupied cell count to fit max_d
+    # (the same envelope the prebuilt neighbor tables need).
     d_ar = jnp.arange(D, dtype=jnp.int32)[None, :]
-    if select == "scatter":
-        rank = jnp.cumsum(hit.astype(jnp.int32), axis=-1) - 1    # [R, D]
-        sel = hit & (rank < SR)
-        # distinct out-of-bounds destinations for dropped lanes
-        dst = jnp.where(sel, rank, SR + d_ar)
-        R_ = raypos.shape[0]
-        idx = jnp.full((R_, SR), D, jnp.int32).at[
-            jnp.arange(R_)[:, None], dst].set(
-                jnp.broadcast_to(d_ar, (R_, D)), mode="drop",
-                unique_indices=True)
+    if select == "merge":
+        assert grid.occ_vids is not None, \
+            "slot_select='merge' needs PointGrid.occ_vids"
+        S = grid.occ_vids
+        ns = S.shape[0]
+        RD = R * D
+        # OOB samples: key 2G+2 matches nothing (valid sample keys <= 2G-1,
+        # occupied keys even, padding G -> 2G); being even it reads as an
+        # "occupied" entry, which only raises `run` for later OOB samples.
+        mkey_q = jnp.where(inb, vid * 2 + 1, 2 * G + 2).reshape(-1)
+        keys = jnp.concatenate([S * 2, mkey_q])
+        lanes = jnp.concatenate([RD + jnp.arange(ns, dtype=jnp.int32),
+                                 jnp.arange(RD, dtype=jnp.int32)])
+        ks, ls = jax.lax.sort((keys, lanes), num_keys=1)
+        is_occ = (ks & 1) == 0
+        run = jax.lax.cummax(jnp.where(is_occ, ks, -1))
+        hit_s = (~is_occ) & (run == ks - 1)
+        r_ = ls // D
+        d_ = ls % D
+        # occupied-list lanes have r_ >= R: they sort past every ray block
+        key2 = r_ * (2 * D) + jnp.where(hit_s, d_, D + d_)
+        k2 = jax.lax.sort(key2)
+        blk = k2[:RD].reshape(R, D)[:, :SR]
+        idx = blk - (jnp.arange(R, dtype=jnp.int32) * 2 * D)[:, None]
+        sample_mask = idx < D
+        idx = jnp.where(sample_mask, idx, idx - D)       # miss: original d
     else:
-        key = jnp.where(hit, d_ar, D + d_ar)             # [R, D]
-        idx = jax.lax.sort(key, dimension=-1)[:, :SR]    # [R, SR]
-    sample_mask = idx < D                                # slot exists
+        occ = grid.vox_occ[jnp.minimum(vid, grid.vox_occ.shape[0] - 1)]
+        hit = inb & (occ > 0)                            # [R, D]
+        if select == "scatter":
+            rank = jnp.cumsum(hit.astype(jnp.int32), axis=-1) - 1    # [R, D]
+            sel = hit & (rank < SR)
+            # distinct out-of-bounds destinations for dropped lanes
+            dst = jnp.where(sel, rank, SR + d_ar)
+            R_ = raypos.shape[0]
+            idx = jnp.full((R_, SR), D, jnp.int32).at[
+                jnp.arange(R_)[:, None], dst].set(
+                    jnp.broadcast_to(d_ar, (R_, D)), mode="drop",
+                    unique_indices=True)
+        else:
+            key = jnp.where(hit, d_ar, D + d_ar)         # [R, D]
+            idx = jax.lax.sort(key, dimension=-1)[:, :SR]  # [R, SR]
+        sample_mask = idx < D                            # slot exists
     idx = jnp.minimum(idx, D - 1)
     if tvals is not None:
         # gather the scalar ray parameter and rebuild the position (1 float

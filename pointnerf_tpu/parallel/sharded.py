@@ -75,6 +75,10 @@ class ShardedScene(NamedTuple):
     vox_dslot: Optional[jnp.ndarray] = None  # [mp, G] int32
     nbr_xyz: Optional[jnp.ndarray] = None    # [mp, max_d, Q*P, 3] f32
     nbr_pid: Optional[jnp.ndarray] = None    # [mp, max_d, Q*P] int32
+    # Concatenated per-shard dilated-occupied cell lists (replicated); the
+    # merge slot selection tolerates duplicates across shards, so the union
+    # needs no dedup — just an all_gather at grid-build time.
+    occ_vids: Optional[jnp.ndarray] = None   # [mp * max_d] int32, pad G
 
 
 def scene_specs(prebuilt: bool) -> ShardedScene:
@@ -84,7 +88,7 @@ def scene_specs(prebuilt: bool) -> ShardedScene:
     return ShardedScene(
         num_active=P("mp"), Rw2c=P(), vox_slot=P("mp"), bucket_pnt=P("mp"),
         bucket_cnt=P("mp"), bucket_xyz=P("mp"), occ_union=P(),
-        vox_dslot=nb, nbr_xyz=nb, nbr_pid=nb)
+        vox_dslot=nb, nbr_xyz=nb, nbr_pid=nb, occ_vids=P())
 
 
 def partition_points(xyz: np.ndarray, key, cfg: PointNeRFConfig, mp: int,
@@ -237,24 +241,34 @@ def build_sharded_scene(pc: PointCloud, num_active: jnp.ndarray,
         # Union occupancy across point shards (int32 psum; int8 could overflow)
         occ_union = (jax.lax.psum(grid.vox_occ.astype(jnp.int32), "mp") > 0
                      ).astype(jnp.int8)
+        # Union dilated-cell list for the merge slot selection: concat of
+        # the shards' sorted lists (duplicates are harmless there)
+        occ_vids = jax.lax.all_gather(grid.occ_vids, "mp",
+                                      tiled=True)         # [mp * max_d]
         out = (grid.vox_slot[None], grid.bucket_pnt[None],
-               grid.bucket_cnt[None], grid.bucket_xyz[None], occ_union)
+               grid.bucket_cnt[None], grid.bucket_xyz[None], occ_union,
+               occ_vids)
         if prebuilt:
             out += (grid.vox_dslot[None], grid.nbr_xyz[None],
                     grid.nbr_pid[None])
         return out
 
-    out_specs = (P("mp"), P("mp"), P("mp"), P("mp"), P())
+    out_specs = (P("mp"), P("mp"), P("mp"), P("mp"), P(), P())
     if prebuilt:
         out_specs += (P("mp"), P("mp"), P("mp"))
+    # check_vma=False: JAX 0.9's varying-axes inference can't statically
+    # prove all_gather(tiled=True) output is replicated over mp (no
+    # all_gather_invariant in this release), but it is — every shard holds
+    # the identical concatenated list.
     outs = jax.jit(jax.shard_map(
         builder, mesh=mesh, in_specs=(P("mp"), P("mp")),
-        out_specs=out_specs))(pc.xyz, num_active)
-    vox_slot, bucket_pnt, bucket_cnt, bucket_xyz, occ_union = outs[:5]
-    nbr = outs[5:] if prebuilt else (None, None, None)
+        out_specs=out_specs, check_vma=False))(pc.xyz, num_active)
+    vox_slot, bucket_pnt, bucket_cnt, bucket_xyz, occ_union, occ_vids = outs[:6]
+    nbr = outs[6:] if prebuilt else (None, None, None)
     return ShardedScene(num_active=num_active, Rw2c=Rw2c, vox_slot=vox_slot,
                         bucket_pnt=bucket_pnt, bucket_cnt=bucket_cnt,
                         bucket_xyz=bucket_xyz, occ_union=occ_union,
+                        occ_vids=occ_vids,
                         vox_dslot=nbr[0], nbr_xyz=nbr[1], nbr_pid=nbr[2])
 
 
@@ -414,7 +428,7 @@ def _render_local_compact(mlp_params, pc_local: PointCloud, grid, Rw2c,
     scatter back to the owning shard's dense frame."""
     from ..models.renderer import (_finalize, compact_select, conf_coeff_fill,
                                    decode_compacted, decode_slots,
-                                   expand_compact)
+                                   expand_compact_many)
     q = cfg.query
     if cfg.train.compute_dtype == "bf16":
         compute_dtype = jnp.bfloat16
@@ -484,13 +498,11 @@ def _render_local_compact(mlp_params, pc_local: PointCloud, grid, Rw2c,
     agg = decode_compacted(mlp_params, cfg, merged, cloc, cloc_w, craydir,
                            Rw2c, compute_dtype)
 
-    features = expand_compact(agg.features, keep_my, cvalid_my, 0.0, rs, SR)
-    weight = expand_compact(agg.weight, keep_my, cvalid_my, 0.0, rs, SR)
-    conf_coeff = expand_compact(agg.conf_coefficient, keep_my, cvalid_my,
-                                conf_coeff_fill(cfg, pc_local), rs, SR)
-    ray_valid = expand_compact(agg.ray_valid, keep_my, cvalid_my, False,
-                               rs, SR)
-    final_mask = expand_compact(cmask, keep_my, cvalid_my, False, rs, SR)
+    features, weight, conf_coeff, ray_valid, final_mask = expand_compact_many(
+        [(agg.features, 0.0), (agg.weight, 0.0),
+         (agg.conf_coefficient, conf_coeff_fill(cfg, pc_local)),
+         (agg.ray_valid, False), (cmask, False)],
+        keep_my, cvalid_my, rs, SR)
 
     sample_loc = w2pers(loc_w_blk, batch.camrotc2w, batch.campos)
     sample_loc = jnp.where(final_mask[..., None], sample_loc, 0.0)
@@ -573,7 +585,8 @@ def _local_grid(scene: ShardedScene) -> PointGrid:
                      bucket_xyz=scene.bucket_xyz[0],
                      vox_dslot=scene.vox_dslot[0] if pre else None,
                      nbr_xyz=scene.nbr_xyz[0] if pre else None,
-                     nbr_pid=scene.nbr_pid[0] if pre else None)
+                     nbr_pid=scene.nbr_pid[0] if pre else None,
+                     occ_vids=scene.occ_vids)
 
 
 def make_sharded_train_step(cfg: PointNeRFConfig, mesh: Mesh):

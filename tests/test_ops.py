@@ -283,10 +283,12 @@ def test_knn_select_argmin_matches_sort():
     np.testing.assert_array_equal(np.asarray(p0), np.asarray(p4))
 
 
-def test_slot_select_scatter_matches_sort():
-    """slot_select='scatter' must reproduce the sort formulation exactly:
-    first SR occupied-voxel hits per ray, in depth order."""
-    import dataclasses
+@pytest.mark.parametrize("alt", ["scatter", "merge"])
+def test_slot_select_alternates_match_sort(alt):
+    """slot_select='scatter'/'merge' must reproduce the sort formulation
+    exactly: first SR occupied-voxel hits per ray, in depth order — on both
+    the raypos gather path and the tvals scalar-gather path, with rays that
+    leave the grid bounds (out-of-bounds samples must never select)."""
     from pointnerf_tpu.ops.grid import grid_meta
     from pointnerf_tpu.ops.query import select_shading_points
     rng = np.random.RandomState(3)
@@ -297,12 +299,24 @@ def test_slot_select_scatter_matches_sort():
     R, D, SR = 16, 64, 10
     campos = np.array([0.0, 0.0, -3.0], np.float32)
     dirs = rng.randn(R, 3).astype(np.float32) * 0.15 + [0, 0, 1]
-    t = np.linspace(2.0, 4.5, D, dtype=np.float32)
+    # long t range: the tail samples exit the grid (OOB coverage)
+    t = np.linspace(2.0, 7.0, D, dtype=np.float32)
     raypos = campos[None, None] + dirs[:, None, :] * t[None, :, None]
     loc0, m0 = select_shading_points(jnp.asarray(raypos), g, meta, SR,
                                      select="sort")
     loc1, m1 = select_shading_points(jnp.asarray(raypos), g, meta, SR,
-                                     select="scatter")
+                                     select=alt)
     np.testing.assert_array_equal(np.asarray(m0), np.asarray(m1))
     np.testing.assert_array_equal(np.asarray(loc0), np.asarray(loc1))
     assert np.asarray(m0).any(), "scene produced no hits; test is vacuous"
+
+    # tvals path (scalar ray-parameter gather + position rebuild)
+    tv = jnp.broadcast_to(jnp.asarray(t)[None], (R, D))
+    kw = dict(tvals=tv, campos=jnp.asarray(campos),
+              raydir=jnp.asarray(dirs))
+    loc2, m2 = select_shading_points(jnp.asarray(raypos), g, meta, SR,
+                                     select="sort", **kw)
+    loc3, m3 = select_shading_points(jnp.asarray(raypos), g, meta, SR,
+                                     select=alt, **kw)
+    np.testing.assert_array_equal(np.asarray(m2), np.asarray(m3))
+    np.testing.assert_array_equal(np.asarray(loc2), np.asarray(loc3))
