@@ -56,6 +56,26 @@ def _dense(p, x):
     return x @ p["w"].astype(x.dtype) + p["b"].astype(x.dtype)
 
 
+def _dense_parts(p, parts):
+    """_dense over the VIRTUAL concatenation of `parts` along -1.
+
+    concat(parts) @ W == sum(part_i @ W[rows_i]) — the materialized concat
+    (plus its f32->bf16 convert) cost a real copy per step at the decode
+    width (round-4 trace: convert_bitcast_fusion + reshape.513 at
+    aggregator.py:500, ~1.7 ms). Row slices of W are static, so each part
+    rides its own MXU matmul and the adds fuse."""
+    if len(parts) == 1:
+        return _dense(p, parts[0])
+    off, acc = 0, None
+    for t in parts:
+        n = t.shape[-1]
+        y = t @ p["w"][off:off + n].astype(t.dtype)
+        acc = y if acc is None else acc + y
+        off += n
+    assert off == p["w"].shape[0], (off, p["w"].shape)
+    return acc + p["b"].astype(acc.dtype)
+
+
 def _act(cfg: AggregatorConfig, x):
     if cfg.act_type == "LeakyReLU":
         return jax.nn.leaky_relu(x, 0.01)
@@ -468,8 +488,12 @@ def aggregate(params: Dict, cfg: AggregatorConfig, sp: SampledPoints,
         return AggOutput(features=out, ray_valid=ray_valid, weight=weight,
                          conf_coefficient=conf_coeff)
 
+    # feat ++ PE(feat) stays a PARTS list (virtual concat — the materialized
+    # [.., K, F(1+2freqs)] f32 tensor plus its relayout cost ~2.4 ms/step in
+    # the round-4 trace); _dense_parts consumes it below.
+    feat_parts = [feat]
     if cfg.num_feat_freqs > 0:
-        feat = jnp.concatenate([feat, positional_encoding(feat, cfg.num_feat_freqs)], -1)
+        feat_parts.append(positional_encoding(feat, cfg.num_feat_freqs))
 
     # PE'd shading-point position for the agg_*_xyz_mode hooks
     # (reference `pts`/`pts_pnt`, viewmlp :499-506, :544-632)
@@ -479,43 +503,51 @@ def aggregate(params: Dict, cfg: AggregatorConfig, sp: SampledPoints,
         pnt_pe = (positional_encoding(sample_loc_w, cfg.num_pos_freqs)
                   if cfg.num_pos_freqs > 0 else sample_loc_w)  # [R,SR,pnt_ch]
 
-    def cat_pnt(t, per_point: bool):
+    # MLP inputs are carried as PARTS lists (virtual concats): every block /
+    # head entry layer runs _dense_parts, so the concatenations the
+    # reference materializes (viewmlp :499-632) never touch HBM here.
+    def pnt_part(ref, per_point: bool):
         p = pnt_pe
         if per_point:
             p = jnp.broadcast_to(p[..., None, :],
-                                 t.shape[:-1] + (p.shape[-1],))
-        return jnp.concatenate([t, p.astype(t.dtype)], axis=-1)
+                                 ref.shape[:-1] + (p.shape[-1],))
+        return p.astype(ref.dtype)
 
     if cfg.agg_intrp_order == 0:
         # interpolate first, then decode per shading point (the kernel may
         # have consumed leading feature channels — use the stripped payload,
         # reference dist_func return :470)
         fagg = jnp.sum(feat_stripped * w, axis=-2)        # [R,SR,F]
+        parts = [fagg.astype(compute_dtype)]
         if cfg.num_feat_freqs > 0:
-            fagg = jnp.concatenate([fagg, positional_encoding(fagg, cfg.num_feat_freqs)], -1)
-        x = fagg.astype(compute_dtype)
+            parts.append(positional_encoding(fagg, cfg.num_feat_freqs)
+                         .astype(compute_dtype))
         if cfg.agg_feat_xyz_mode != "None":
-            x = cat_pnt(x, per_point=False)
+            parts.append(pnt_part(parts[0], per_point=False))
     else:
-        x = jnp.concatenate([feat, dists_enc], axis=-1).astype(compute_dtype)
+        parts = [p.astype(compute_dtype) for p in feat_parts]
+        parts.append(dists_enc.astype(compute_dtype))
         if cfg.agg_feat_xyz_mode != "None":
-            x = cat_pnt(x, per_point=True)
+            parts.append(pnt_part(parts[0], per_point=True))
 
-    def run_block(name, x):
-        for layer in params[name]:
+    def run_block(name, parts):
+        layers = params[name]
+        x = _act(cfg, _dense_parts(layers[0], parts))
+        for layer in layers[1:]:
             x = _act(cfg, _dense(layer, x))
         return x
 
     if "block1" in params:
-        x = run_block("block1", x)
+        parts = [run_block("block1", parts)]
     if "block2" in params:
         if cfg.agg_feat_xyz_mode != "None":
-            x = cat_pnt(x, per_point=cfg.agg_intrp_order > 0)
+            parts = parts + [pnt_part(parts[0],
+                                      per_point=cfg.agg_intrp_order > 0)]
         if cfg.agg_intrp_order > 0 and cfg.num_feat_freqs == 0:
-            x = jnp.concatenate([x, dists_enc.astype(compute_dtype)], -1)
-        x = run_block("block2", x)
+            parts = parts + [dists_enc.astype(compute_dtype)]
+        parts = [run_block("block2", parts)]
     if "block3" in params:
-        extras = [x]
+        extras = list(parts)
         if cfg.point_color_mode:
             extras.append(jnp.where(mask[..., None], sp.color, 0.0).astype(compute_dtype))
         if cfg.point_dir_mode:
@@ -527,16 +559,21 @@ def aggregate(params: Dict, cfg: AggregatorConfig, sp: SampledPoints,
             extras.append((sdir - ov).astype(compute_dtype))
             extras.append(jnp.sum(sdir * ov, -1, keepdims=True).astype(compute_dtype))
         if cfg.agg_intrp_order == 0:
-            x = run_block("block3", jnp.concatenate(
-                [extras[0]] + [jnp.sum(e * w, -2) for e in extras[1:]], -1))
+            parts = [run_block("block3", extras[:1] +
+                               [jnp.sum(e * w, -2) for e in extras[1:]])]
         else:
-            x = run_block("block3", jnp.concatenate(extras, -1))
+            parts = [run_block("block3", extras)]
+    x = parts[0] if len(parts) == 1 else jnp.concatenate(parts, -1)
 
-    def mlp(name, x, final_act=None):
+    def mlp(name, parts, final_act=None):
         layers = params[name]
-        for layer in layers[:-1]:
-            x = _act(cfg, _dense(layer, x))
-        x = _dense(layers[-1], x)
+        if len(layers) == 1:
+            x = _dense_parts(layers[0], parts)
+        else:
+            x = _act(cfg, _dense_parts(layers[0], parts))
+            for layer in layers[1:-1]:
+                x = _act(cfg, _dense(layer, x))
+            x = _dense(layers[-1], x)
         return final_act(x) if final_act else x
 
     def raw2density(raw):
@@ -553,14 +590,15 @@ def aggregate(params: Dict, cfg: AggregatorConfig, sp: SampledPoints,
         return c
 
     def alpha_input(t, per_point: bool):
-        return (cat_pnt(t, per_point)
-                if cfg.agg_alpha_xyz_mode != "None" else t)
+        return ([t, pnt_part(t, per_point)]
+                if cfg.agg_alpha_xyz_mode != "None" else [t])
 
     def color_input(fagg):
-        t = fagg
+        parts = [fagg]
         if cfg.agg_color_xyz_mode != "None":
-            t = cat_pnt(t, per_point=False)
-        return jnp.concatenate([t, viewdirs_pe.astype(compute_dtype)], -1)
+            parts.append(pnt_part(fagg, per_point=False))
+        parts.append(viewdirs_pe.astype(compute_dtype))
+        return parts
 
     C = cfg.shading_color_channel_num
     if cfg.agg_intrp_order == 2:

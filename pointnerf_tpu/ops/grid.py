@@ -61,7 +61,8 @@ class PointGrid(NamedTuple):
     # out contiguously. The query becomes one ~3KB streaming row read per
     # shading point. None when disabled (grid pytree shape is config-static).
     vox_dslot: Optional[jnp.ndarray] = None  # [G] int32 cell -> dilated slot
-    nbr_xyz: Optional[jnp.ndarray] = None    # [max_d, Q*P, 3] f32 (dead=1e8)
+    nbr_xyz: Optional[jnp.ndarray] = None    # [max_d, 3*Q*P] f32 flat
+    #   coordinate-major rows ([3][Q*P]); dead slots = 1e8
     nbr_pid: Optional[jnp.ndarray] = None    # [max_d, Q*P] int32 (-1 pad)
     # Sorted DILATED-occupied voxel ids (G-padded), the same cell set vox_occ
     # marks (up to the max_d cap). Consumed by the sort-merge shading-slot
@@ -222,10 +223,33 @@ def build_grid(xyz: jnp.ndarray, num_active: jnp.ndarray, cfg: QueryConfig) -> P
                           vox_slot[jnp.minimum(kn, G - 1)], -1)
         ksc = jnp.maximum(kslot, 0)
         live = kslot >= 0
+        # Stored FLAT [max_d, 3*Q*P], coordinate-major rows ([3][Q*P] order):
+        # any 3-D shape for this table gets retiled by the consumer (the
+        # round-4 trace showed a full-table relayout copy EVERY step:
+        # T(8,128) parameter tiling vs the T(4,128) the distance kernel
+        # wants on a size-3 axis — 1.45 ms). A flat row keeps one T(8,128)
+        # layout end to end; the query side slices the three coordinate
+        # blocks along lanes instead of reshaping. Transpose cost lives
+        # here, only on point-set change.
         nbr_xyz = jnp.where(live[..., None, None], bucket_xyz[ksc], 1.0e8
-                            ).reshape(max_d, -1, 3)
+                            ).reshape(max_d, -1, 3).swapaxes(1, 2)
+        nbr_xyz = nbr_xyz.reshape(max_d, -1)
         nbr_pid = jnp.where(live[..., None], bucket_pnt[ksc], -1
                             ).reshape(max_d, -1)
+        # Pin the tables to row-major OUTPUT layout: XLA otherwise
+        # propagates the build-side transpose into a column-major result
+        # layout, and every consumer step then pays a full-table relayout
+        # copy (round-4 trace: 1.6 ms/step). The transpose is paid once
+        # here, on point-set change.
+        try:
+            from jax.experimental.layout import (Layout,
+                                                 with_layout_constraint)
+            nbr_xyz = with_layout_constraint(nbr_xyz,
+                                             Layout(major_to_minor=(0, 1)))
+            nbr_pid = with_layout_constraint(nbr_pid,
+                                             Layout(major_to_minor=(0, 1)))
+        except Exception:  # pragma: no cover — layout API unavailable
+            pass
 
     return PointGrid(vox_slot=vox_slot, vox_occ=vox_occ, bucket_pnt=bucket_pnt,
                      bucket_cnt=bucket_cnt,

@@ -22,12 +22,29 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _interleave2(base: jnp.ndarray):
+    """[..., DF] -> [..., 2DF] with each element repeated twice.
+
+    Lowered as broadcast+reshape (free inside a fusion) — the stack-based
+    interleave materialized an [..., DF, 2] intermediate whose T(2,128)
+    padded layout cost a real copy per step (round-4 trace: copy.667 +
+    pad_maximum_fusion, ~1.4 ms)."""
+    out = jnp.broadcast_to(base[..., None], base.shape + (2,))
+    return out.reshape(base.shape[:-1] + (base.shape[-1] * 2,))
+
+
 def _pe_core(x: jnp.ndarray, freqs: int):
-    """Returns (sin_interleaved_cos [..., 2DF]) in the reference layout."""
+    """Returns (sin_interleaved_cos [..., 2DF]) in the reference layout.
+
+    cos(b) = sin(b + pi/2), so the interleaved (sin b, cos b) pairs are ONE
+    flat sin over the twice-repeated base plus an alternating phase — no
+    stack/interleave copy, same transcendental count. Rounding from the
+    pi/2 float32 offset is ~1e-7 absolute (PE oracle tolerance 1e-5)."""
     fb = 2.0 ** jnp.arange(freqs, dtype=x.dtype)  # [F]
     base = (x[..., None] * fb).reshape(x.shape[:-1] + (x.shape[-1] * freqs,))
-    inter = jnp.stack([jnp.sin(base), jnp.cos(base)], axis=-1)
-    return inter.reshape(x.shape[:-1] + (x.shape[-1] * freqs * 2,))
+    phase = jnp.tile(jnp.asarray([0.0, np.pi / 2], x.dtype),
+                     base.shape[-1])
+    return jnp.sin(_interleave2(base) + phase)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
@@ -36,6 +53,10 @@ def _pe_flat(x: jnp.ndarray, freqs: int) -> jnp.ndarray:
 
 
 def _pe_flat_fwd(x, freqs):
+    # residual is x, NOT the forward output: saving y would force the
+    # forward sine out of its consumer fusion into a standalone
+    # materializing kernel (measured 5.5 ms/step regression); recomputing
+    # the trig from x in the backward stays fused and costs less
     return _pe_core(x, freqs), x
 
 
@@ -44,8 +65,10 @@ def _pe_flat_bwd(freqs, x, g):
     fb = 2.0 ** jnp.arange(freqs, dtype=x.dtype)
     base = (x[..., None] * fb).reshape(x.shape[:-1] + (d * freqs,))
     # T[..., (d*F+f)*2 + j] = cos(base) for j=0 (sin channel), -sin for j=1
-    trig = jnp.stack([jnp.cos(base), -jnp.sin(base)], axis=-1)
-    trig = trig.reshape(g.shape)
+    # = sin(base + pi/2), sin(base + pi) — one flat sin, no interleave copy
+    phase = jnp.tile(jnp.asarray([np.pi / 2, np.pi], x.dtype),
+                     base.shape[-1])
+    trig = jnp.sin(_interleave2(base) + phase)
     # P[(dd*F+f)*2 + j, dd] = 2^f — constant; the tiny-axis reduction rides
     # the MXU instead of a lane-starved VPU loop fusion.
     p = np.zeros((d * freqs * 2, d), np.float32)

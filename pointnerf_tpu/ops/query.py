@@ -302,7 +302,23 @@ def select_shading_points(raypos: jnp.ndarray, grid: PointGrid, meta: GridMeta,
         keys = jnp.concatenate([S * 2, mkey_q])
         lanes = jnp.concatenate([RD + jnp.arange(ns, dtype=jnp.int32),
                                  jnp.arange(RD, dtype=jnp.int32)])
-        ks, ls = jax.lax.sort((keys, lanes), num_keys=1)
+        # is_stable=False: XLA's stable sort appends an iota tie-break
+        # operand — a full extra payload pass over 1.57M elements. Equal
+        # keys here are only occ-occ duplicates (identical effect on `run`)
+        # or same-vid samples (each lane's (r,d) is recovered from its own
+        # payload and re-ordered by the unique-key second sort), so any
+        # order among ties yields the identical result.
+        if tvals is not None:
+            # carry the scalar ray parameter as a sort payload: sorts move
+            # elements ~10x cheaper than the [R, SR] take_along_axis gather
+            # this replaces (2.8 ms/step at the lego budget)
+            tpay = jnp.concatenate([jnp.zeros((ns,), tvals.dtype),
+                                    tvals.reshape(-1)])
+            ks, ls, tsort = jax.lax.sort((keys, lanes, tpay), num_keys=1,
+                                         is_stable=False)
+        else:
+            ks, ls = jax.lax.sort((keys, lanes), num_keys=1, is_stable=False)
+            tsort = None
         is_occ = (ks & 1) == 0
         run = jax.lax.cummax(jnp.where(is_occ, ks, -1))
         hit_s = (~is_occ) & (run == ks - 1)
@@ -310,12 +326,21 @@ def select_shading_points(raypos: jnp.ndarray, grid: PointGrid, meta: GridMeta,
         d_ = ls % D
         # occupied-list lanes have r_ >= R: they sort past every ray block
         key2 = r_ * (2 * D) + jnp.where(hit_s, d_, D + d_)
-        k2 = jax.lax.sort(key2)
+        # key2 is globally unique ((r_, d_) distinct per lane), so the
+        # stable sort's implicit iota payload is pure waste
+        if tsort is not None:
+            k2, tsel = jax.lax.sort((key2, tsort), num_keys=1,
+                                    is_stable=False)
+            tsel = tsel[:RD].reshape(R, D)[:, :SR]       # [R, SR]
+        else:
+            k2 = jax.lax.sort(key2, is_stable=False)
+            tsel = None
         blk = k2[:RD].reshape(R, D)[:, :SR]
         idx = blk - (jnp.arange(R, dtype=jnp.int32) * 2 * D)[:, None]
         sample_mask = idx < D
         idx = jnp.where(sample_mask, idx, idx - D)       # miss: original d
     else:
+        tsel = None
         occ = grid.vox_occ[jnp.minimum(vid, grid.vox_occ.shape[0] - 1)]
         hit = inb & (occ > 0)                            # [R, D]
         if select == "scatter":
@@ -334,9 +359,10 @@ def select_shading_points(raypos: jnp.ndarray, grid: PointGrid, meta: GridMeta,
         sample_mask = idx < D                            # slot exists
     idx = jnp.minimum(idx, D - 1)
     if tvals is not None:
-        # gather the scalar ray parameter and rebuild the position (1 float
-        # per slot instead of 3)
-        t = jnp.take_along_axis(tvals, idx, axis=1)      # [R, SR]
+        # the scalar ray parameter (sort-carried on the merge path; a
+        # 1-float-per-slot gather otherwise) rebuilds the position
+        t = (tsel if tsel is not None
+             else jnp.take_along_axis(tvals, idx, axis=1))  # [R, SR]
         sample_loc_w = campos[None, None, :] + raydir[:, None, :] * t[..., None]
     else:
         sample_loc_w = jnp.take_along_axis(raypos, idx[..., None], axis=1)
@@ -398,14 +424,24 @@ def _knn_chunk(centers, center_valid, xyz, grid, meta, cfg: QueryConfig):
             # argmin sweeps (ops/pallas_knn.py). Identical winner set.
             from .pallas_knn import pallas_knn_select
             return pallas_knn_select(
-                grid.nbr_xyz[dsc], grid.nbr_pid[dsc], centers,
+                jnp.swapaxes(grid.nbr_xyz[dsc].reshape(C, 3, Q * P), 1, 2),
+                grid.nbr_pid[dsc], centers,
                 (dslot >= 0) & center_valid, K=K,
                 r2=cfg.radius_limit ** 2)
-        pxyz = grid.nbr_xyz[dsc].reshape(C, Q, P, 3)
+        # flat coordinate-major rows [3*Q*P] (see ops/grid.py) — the three
+        # coordinate blocks are LANE SLICES, so the distance reduction
+        # needs no reshape and therefore no retiling copy of the gathered
+        # block
+        QP = Q * P
+        row = grid.nbr_xyz[dsc]                           # [C, 3*QP]
+
+        def _sq(i):
+            dv = row[:, i * QP:(i + 1) * QP] - centers[:, i:i + 1]
+            return dv * dv
+
+        d2 = (_sq(0) + _sq(1) + _sq(2)).reshape(C, Q, P)
         cand_ok = ((dslot >= 0) & center_valid)[:, None, None] & \
-            (pxyz[..., 0] < 1.0e7)                        # dead slots = 1e8
-        diff = pxyz - centers[:, None, None, :]
-        d2 = jnp.sum(diff * diff, axis=-1)                # [C, Q, P]
+            (row[:, :QP] < 1.0e7).reshape(C, Q, P)        # dead slots = 1e8
     else:
         ncoor = ccoor[:, None, :] + offs_j[None, :, :]    # [C, Q, 3]
         nvid, ninb = flat_vid(ncoor, meta)

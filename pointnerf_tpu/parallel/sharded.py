@@ -73,7 +73,7 @@ class ShardedScene(NamedTuple):
     # exact, and the all_to_all merge reproduces the unsharded KNN. None when
     # disabled (pytree structure is config-static).
     vox_dslot: Optional[jnp.ndarray] = None  # [mp, G] int32
-    nbr_xyz: Optional[jnp.ndarray] = None    # [mp, max_d, Q*P, 3] f32
+    nbr_xyz: Optional[jnp.ndarray] = None    # [mp, max_d, 3, Q*P] f32
     nbr_pid: Optional[jnp.ndarray] = None    # [mp, max_d, Q*P] int32
     # Concatenated per-shard dilated-occupied cell lists (replicated); the
     # merge slot selection tolerates duplicates across shards, so the union

@@ -142,9 +142,36 @@ def eval_step(params, st: PointCloudStatic, grid: PointGrid, batch: RayBatch,
                        key=None, train=False, prob=prob)
 
 
+def _row_major(a):
+    """Relayout a committed array to row-major device layout.
+
+    The eager grid build materializes the prebuilt neighbor tables
+    column-major (XLA propagates the build-side transpose into the output
+    layout); left that way, EVERY train step pays a full-table relayout
+    copy (~1.6 ms at the lego budget). Pin them once here, on point-set
+    change."""
+    try:
+        from jax.experimental.layout import Format, Layout
+        mtm = tuple(range(a.ndim))
+        if a.format.layout.major_to_minor == mtm:
+            # already row-major (always true on CPU) — return the array
+            # untouched so uncommitted arrays stay uncommitted and jit
+            # keeps its placement freedom (the dryrun parity path renders
+            # a single-device reference next to mesh-replicated params)
+            return a
+        return jax.device_put(a, Format(Layout(major_to_minor=mtm),
+                                        a.sharding))
+    except Exception:  # pragma: no cover — layout API unavailable
+        return a
+
+
 def refresh_grid(pc: PointCloud, st: PointCloudStatic,
                  cfg: PointNeRFConfig) -> PointGrid:
     """Rebuild the occupancy grid after a point-set change (prune/grow).
     The reference rebuilds this every iteration (query_grid_point_index
     :626); positions only change on prune/grow here, so callers cache it."""
-    return build_grid(pc.xyz, st.num_active, cfg.query)
+    grid = build_grid(pc.xyz, st.num_active, cfg.query)
+    if grid.nbr_xyz is not None:
+        grid = grid._replace(nbr_xyz=_row_major(grid.nbr_xyz),
+                             nbr_pid=_row_major(grid.nbr_pid))
+    return grid

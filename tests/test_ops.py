@@ -34,6 +34,31 @@ def test_positional_encoding_matches_oracle():
             np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
+def test_positional_encoding_custom_vjp_matches_autodiff():
+    """The non-ori PE carries a custom VJP (MXU-friendly backward,
+    ops/pe.py). Its gradient must match plain autodiff of the oracle
+    formula for arbitrary cotangents."""
+    rng = np.random.RandomState(7)
+    x = rng.randn(64, 3).astype(np.float32) * 2.0
+    g = rng.randn(64, 3 * 4 * 2).astype(np.float32)
+
+    def naive(x):
+        fb = 2.0 ** jnp.arange(4, dtype=x.dtype)
+        base = (x[..., None] * fb).reshape(x.shape[:-1] + (12,))
+        inter = jnp.stack([jnp.sin(base), jnp.cos(base)], axis=-1)
+        return inter.reshape(x.shape[:-1] + (24,))
+
+    def loss_custom(x):
+        return jnp.sum(positional_encoding(x, 4) * g)
+
+    def loss_naive(x):
+        return jnp.sum(naive(x) * g)
+
+    gc = np.asarray(jax.grad(loss_custom)(jnp.asarray(x)))
+    gn = np.asarray(jax.grad(loss_naive)(jnp.asarray(x)))
+    np.testing.assert_allclose(gc, gn, rtol=2e-4, atol=2e-5)
+
+
 def test_build_grid_matches_oracle():
     rng = np.random.RandomState(1)
     xyz = rng.uniform(-0.9, 0.9, (200, 3)).astype(np.float32)
