@@ -61,6 +61,10 @@ class PointGrid(NamedTuple):
     # out contiguously. The query becomes one ~3KB streaming row read per
     # shading point. None when disabled (grid pytree shape is config-static).
     vox_dslot: Optional[jnp.ndarray] = None  # [G] int32 cell -> dilated slot
+    num_dil: Optional[jnp.ndarray] = None    # [] int32 TRUE dilated-occupied
+    #   cell count BEFORE the max_d cap — if this exceeds max_d the
+    #   neighbor tables and occ_vids are truncated (points in dropped
+    #   cells silently find no neighbors); refresh_grid warns on it
     nbr_xyz: Optional[jnp.ndarray] = None    # [max_d, 3*Q*P] f32 flat
     #   coordinate-major rows ([3][Q*P]); dead slots = 1e8
     nbr_pid: Optional[jnp.ndarray] = None    # [max_d, Q*P] int32 (-1 pad)
@@ -200,6 +204,7 @@ def build_grid(xyz: jnp.ndarray, num_active: jnp.ndarray, cfg: QueryConfig) -> P
     d_ok = d_new & (drank >= 0) & (drank < max_d)
     dil_vid = jnp.full((max_d,), G, jnp.int32).at[
         jnp.where(d_ok, drank, max_d)].set(dil, mode="drop")
+    num_dil = jnp.sum(d_new.astype(jnp.int32))
 
     vox_dslot = nbr_xyz = nbr_pid = None
     if cfg.prebuild_neighbors:
@@ -255,4 +260,5 @@ def build_grid(xyz: jnp.ndarray, num_active: jnp.ndarray, cfg: QueryConfig) -> P
                      bucket_cnt=bucket_cnt,
                      num_occ=jnp.asarray(num_occ, jnp.int32),
                      bucket_xyz=bucket_xyz, vox_dslot=vox_dslot,
-                     nbr_xyz=nbr_xyz, nbr_pid=nbr_pid, occ_vids=occ_vids)
+                     nbr_xyz=nbr_xyz, nbr_pid=nbr_pid, occ_vids=occ_vids,
+                     num_dil=num_dil)

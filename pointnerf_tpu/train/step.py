@@ -174,4 +174,12 @@ def refresh_grid(pc: PointCloud, st: PointCloudStatic,
     if grid.nbr_xyz is not None:
         grid = grid._replace(nbr_xyz=_row_major(grid.nbr_xyz),
                              nbr_pid=_row_major(grid.nbr_pid))
+    nd = int(grid.num_dil)
+    cap = cfg.query.max_d or 0
+    if cap and nd > cap:
+        print(f"[grid] WARNING: {nd} dilated-occupied cells exceed "
+              f"max_d={cap}; {nd - cap} cells have NO neighbor-table row "
+              f"(points there silently find no neighbors) — raise "
+              f"QueryConfig.max_d (round-4 finding: this truncation capped "
+              f"quality-scale PSNR)")
     return grid

@@ -65,6 +65,11 @@ def build_config(xyz, steps: int, rays_side: int = 60,
     cfg = cfg.replace(
         query=dataclasses.replace(
             cfg.query, vsize=(v, v, v), ranges=r, max_o=262144,
+            # quality-scale clouds dilate to ~210k occupied cells; the bench
+            # default max_d=131072 TRUNCATED the neighbor tables (37% of
+            # cells had no row — one side of the scene silently found no
+            # neighbors, capping round-2/3 PSNR). Size the envelope to max_o.
+            max_d=262144,
             # multi-object scenes fill more of the frame than the bench
             # sphere: give the compacted decode 40% capacity (watch the
             # n_decode_dropped log line; 0 in the recorded runs)
@@ -125,6 +130,16 @@ def main():
     ap.add_argument("--nerf-importance", type=int, default=0,
                     help="proposal-NeRF hybrid samples per ray "
                          "(RenderConfig.nerf_importance; 0 disables)")
+    ap.add_argument("--nerf-create-points", action="store_true",
+                    help="probe-grow also converts confident radiance-field "
+                         "mass into new points (TrainConfig."
+                         "nerf_create_points; needs --nerf-importance > 0)")
+    ap.add_argument("--drop-prims", default="",
+                    help="comma-separated primitive indices EXCLUDED from "
+                         "the init cloud (the geometry still renders in GT) "
+                         "— simulates MVS coverage holes, the regime the "
+                         "reference's NeRF hybrid exists for "
+                         "(neural_points_volumetric_multiseq_model.py:290+)")
     ap.add_argument("--split-iter", type=int, default=0,
                     help="gradient-driven point-splitting cadence "
                          "(TrainConfig.split_iter; 0 disables)")
@@ -148,7 +163,13 @@ def main():
         jax.config.update("jax_platforms", args.platform)
 
     prims = SCENES[args.scene]()
-    xyz, color, normals = sample_cloud(prims, args.pts, seed=0)
+    cloud_prims = prims
+    if args.drop_prims:
+        drop = {int(i) for i in args.drop_prims.split(",")}
+        cloud_prims = [p for i, p in enumerate(prims) if i not in drop]
+        print(f"[quality] init cloud EXCLUDES prims {sorted(drop)} "
+              f"({len(cloud_prims)}/{len(prims)} sampled; GT renders all)")
+    xyz, color, normals = sample_cloud(cloud_prims, args.pts, seed=0)
     wh = (args.wh, args.wh)
     cfg = build_config(xyz, args.steps, rays_side=args.rays_side,
                        prune_iter=args.prune_iter, hit_boost=args.hit_boost,
@@ -158,6 +179,10 @@ def main():
     if args.feat_dim:
         cfg = cfg.replace(agg=dataclasses.replace(
             cfg.agg, point_features_dim=args.feat_dim))
+    if args.nerf_create_points:
+        assert args.nerf_importance > 0, "--nerf-create-points needs the hybrid"
+        cfg = cfg.replace(train=dataclasses.replace(
+            cfg.train, nerf_create_points=True))
     if args.tiny:
         cfg = cfg.replace(
             query=dataclasses.replace(
@@ -232,7 +257,11 @@ def main():
            "levers": {"importance": args.importance,
                       "hit_boost": args.hit_boost,
                       "prune_min_hits": args.prune_min_hits,
-                      "fine": args.fine, "prune_iter": args.prune_iter}}
+                      "fine": args.fine, "prune_iter": args.prune_iter,
+                      "split_iter": args.split_iter,
+                      "nerf_importance": args.nerf_importance,
+                      "nerf_create_points": bool(args.nerf_create_points),
+                      "drop_prims": args.drop_prims}}
     path = f"QUALITY_{args.scene}{suffix}.json"
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
