@@ -100,3 +100,25 @@ def test_sh_basis_orthonormal():
     b = np.asarray(sh_basis(3, jnp.asarray(v, jnp.float32)))  # [N, 9]
     gram = (b.T @ b) / len(v) * (4 * np.pi)
     np.testing.assert_allclose(gram, np.eye(9), atol=0.05)
+
+
+def test_sh_recurrence_matches_closed_forms():
+    """The arbitrary-degree Legendre recurrence must reproduce the
+    hardcoded degree-4 closed forms exactly (same convention), and stay
+    orthonormal at degree 6 (beyond the reference's default — the scipy
+    machinery of utils/spherical.py:9+ covered any degree)."""
+    from pointnerf_tpu.ops.spherical import _sh_basis_recurrence
+    rng = np.random.RandomState(1)
+    v = rng.normal(size=(4096, 3))
+    v /= np.linalg.norm(v, axis=-1, keepdims=True)
+    vj = jnp.asarray(v, jnp.float32)
+    for deg in (1, 2, 3, 4):
+        np.testing.assert_allclose(
+            np.asarray(_sh_basis_recurrence(deg, vj)),
+            np.asarray(sh_basis(deg, vj)), rtol=2e-5, atol=2e-6)
+
+    v2 = rng.normal(size=(200000, 3))
+    v2 /= np.linalg.norm(v2, axis=-1, keepdims=True)
+    b = np.asarray(sh_basis(6, jnp.asarray(v2, jnp.float32)))  # [N, 36]
+    gram = (b.T @ b) / len(v2) * (4 * np.pi)
+    np.testing.assert_allclose(gram, np.eye(36), atol=0.06)
