@@ -86,7 +86,8 @@ def main():
     cam_r = 2.4
     cfg = cfg.replace(
         query=dataclasses.replace(cfg.query, vsize=(v, v, v), ranges=r,
-                                  max_o=262144, decode_capacity=0.5),
+                                  max_o=262144, max_d=262144,
+                                  decode_capacity=0.5),
         agg=dataclasses.replace(cfg.agg, shading_color_channel_num=args.c),
         render=dataclasses.replace(cfg.render,
                                    near_plane=cam_r - 0.75 * span,
