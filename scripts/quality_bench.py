@@ -140,6 +140,9 @@ def main():
                          "— simulates MVS coverage holes, the regime the "
                          "reference's NeRF hybrid exists for "
                          "(neural_points_volumetric_multiseq_model.py:290+)")
+    ap.add_argument("--prob-freq", type=int, default=0,
+                    help="override the probe-grow cadence (0 keeps the "
+                         "schedule-scaled default; <0 disables probes)")
     ap.add_argument("--split-iter", type=int, default=0,
                     help="gradient-driven point-splitting cadence "
                          "(TrainConfig.split_iter; 0 disables)")
@@ -203,6 +206,10 @@ def main():
             color_loss_items=("ray_masked_coarse_raycolor",
                               "coarse_raycolor", "nerf_coarse_raycolor"),
             color_loss_weights=(1.0, 1.0, 0.5)))
+    if args.prob_freq:
+        pf = args.prob_freq if args.prob_freq > 0 else 0
+        cfg = cfg.replace(train=dataclasses.replace(cfg.train,
+                                                    prob_freq=pf))
     if args.test_freq:
         cfg = cfg.replace(train=dataclasses.replace(cfg.train,
                                                     test_freq=args.test_freq))
