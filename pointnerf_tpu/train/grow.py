@@ -70,6 +70,20 @@ def render_full_frame(params, st, grid, cfg: PointNeRFConfig, item: Dict,
     # in one batched device_get: per-chunk host syncs round-trip the axon
     # tunnel for ~200ms each, which dominated eval wall time (PERF.md r3).
     pending: list = []
+    fetched: list = []
+    # Materialize in bounded batches: one device_get over EVERY chunk of a
+    # full prob-mode frame keeps ~70 chunks x 12 arrays of device buffers
+    # alive at once, which the axon tunnel rejects (the failure is async —
+    # a TPU-backend INVALID_ARGUMENT surfacing at the NEXT host->device
+    # transfer; PERF.md round-4 known issue). 16 chunks still amortizes
+    # the ~200ms per-sync tunnel round-trip 16x.
+    flush_every = 16
+
+    def _flush():
+        if len(fetched) < len(pending):
+            batch_vals = [vals for _, _, vals in pending[len(fetched):]]
+            fetched.extend(jax.device_get(batch_vals))
+
     for s in range(0, total, chunk):
         e = min(s + chunk, total)
         rd = raydir[s:e]
@@ -82,7 +96,9 @@ def render_full_frame(params, st, grid, cfg: PointNeRFConfig, item: Dict,
         out = eval_step(params, st, grid, batch, jcfg, prob=prob)
         pending.append((s, e, {k: getattr(out, k) for k in keys
                                if getattr(out, k) is not None}))
-    fetched = jax.device_get([vals for _, _, vals in pending])
+        if len(pending) - len(fetched) >= flush_every:
+            _flush()
+    _flush()
     for (s, e, _), vals in zip(pending, fetched):
         n = e - s
         px, py = pix[s:e, 0], pix[s:e, 1]
