@@ -234,27 +234,23 @@ def build_grid(xyz: jnp.ndarray, num_active: jnp.ndarray, cfg: QueryConfig) -> P
         # T(8,128) parameter tiling vs the T(4,128) the distance kernel
         # wants on a size-3 axis — 1.45 ms). A flat row keeps one T(8,128)
         # layout end to end; the query side slices the three coordinate
-        # blocks along lanes instead of reshaping. Transpose cost lives
-        # here, only on point-set change.
-        nbr_xyz = jnp.where(live[..., None, None], bucket_xyz[ksc], 1.0e8
-                            ).reshape(max_d, -1, 3).swapaxes(1, 2)
-        nbr_xyz = nbr_xyz.reshape(max_d, -1)
+        # blocks along lanes instead of reshaping.
+        #
+        # The coordinate-major flattening is a LANE CONCAT of the three
+        # coordinate slices, NOT swapaxes(1,2).reshape: a transpose here
+        # makes XLA propagate a column-major layout into the table, and the
+        # round-4 repair — an explicit-layout device_put relayout pin
+        # (train/step.py _row_major) — turned out to POISON the cached
+        # train_step executable on the axon backend whenever the tables
+        # were rebuilt mid-run (the round-4/5 INVALID_ARGUMENT crash class;
+        # bisect: runs/repro_e4 vs repro_e5). The concat's natural output
+        # layout is already row-major, so no relayout exists to pin.
+        g3 = jnp.where(live[..., None, None], bucket_xyz[ksc], 1.0e8
+                       ).reshape(max_d, -1, 3)
+        nbr_xyz = jnp.concatenate([g3[..., 0], g3[..., 1], g3[..., 2]],
+                                  axis=1)
         nbr_pid = jnp.where(live[..., None], bucket_pnt[ksc], -1
                             ).reshape(max_d, -1)
-        # Pin the tables to row-major OUTPUT layout: XLA otherwise
-        # propagates the build-side transpose into a column-major result
-        # layout, and every consumer step then pays a full-table relayout
-        # copy (round-4 trace: 1.6 ms/step). The transpose is paid once
-        # here, on point-set change.
-        try:
-            from jax.experimental.layout import (Layout,
-                                                 with_layout_constraint)
-            nbr_xyz = with_layout_constraint(nbr_xyz,
-                                             Layout(major_to_minor=(0, 1)))
-            nbr_pid = with_layout_constraint(nbr_pid,
-                                             Layout(major_to_minor=(0, 1)))
-        except Exception:  # pragma: no cover — layout API unavailable
-            pass
 
     return PointGrid(vox_slot=vox_slot, vox_occ=vox_occ, bucket_pnt=bucket_pnt,
                      bucket_cnt=bucket_cnt,

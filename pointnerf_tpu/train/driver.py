@@ -99,6 +99,17 @@ def init_mlp_params(key, cfg: PointNeRFConfig):
     return params
 
 
+def _sync_maint(tag: str, *trees):
+    """Debug aid (POINTNERF_SYNC_MAINT=1): force every pending dispatch to
+    complete so an async TPU-backend poison surfaces AT the guilty stage
+    instead of at some later unrelated transfer (the round-4/5
+    INVALID_ARGUMENT hunts)."""
+    if os.environ.get("POINTNERF_SYNC_MAINT", "") in ("", "0"):
+        return
+    jax.block_until_ready(trees)
+    print(f"[sync] {tag} ok", flush=True)
+
+
 def _to_batch(item: Dict, cfg: PointNeRFConfig) -> RayBatch:
     return RayBatch(
         campos=jnp.asarray(item["campos"]),
@@ -228,8 +239,8 @@ def train_scene(cfg: PointNeRFConfig,
             # rays (reference max_num = len(dataset)//prob_num_step,
             # train_ft.py:443-452)
             if miss_tally:
-                score = {k: float(np.sum([np.asarray(v) for v in vs]))
-                         for k, vs in miss_tally.items()}
+                score = {k: float(np.sum(vs)) for k, vs in jax.device_get(
+                    {k: list(vs) for k, vs in miss_tally.items()}).items()}
                 ranked = sorted(
                     probe_items,
                     key=lambda it: -score.get(it.get("id"), 0.0))
@@ -238,9 +249,13 @@ def train_scene(cfg: PointNeRFConfig,
                 miss_tally.clear()
             else:
                 ranked = probe_items
+            _sync_maint("pre-probe", state, grid)
             cand = probe_hole(state.params, st, grid, cfg, ranked, wh)
+            _sync_maint("post-probe", state, grid)
             state, st, added = apply_grow(state, st, cand, cfg)
+            _sync_maint("post-grow", state, st)
             grid = refresh_grid(state.params["points"], st, cfg)
+            _sync_maint("post-refresh", grid)
             print(f"[grow] step {step_i}: +{added} points "
                   f"(total {int(st.num_active)})")
         # ---- gradient-driven splitting (densification; grow.py) ---------
@@ -256,6 +271,7 @@ def train_scene(cfg: PointNeRFConfig,
         assert fetched_step == step_i, (fetched_step, step_i)
         batch = _to_batch(item, cfg)
         state, items = train_step(state, st, grid, batch, jcfg)
+        _sync_maint(f"post-step-{step_i}", items)
         if (t.prob_freq > 0 and probe_items
                 and item.get("id") is not None):
             miss_tally.setdefault(item["id"], []).append(items["n_miss"])
@@ -268,6 +284,16 @@ def train_scene(cfg: PointNeRFConfig,
         if step_i % log_every == 0:
             if sampler is not None:
                 sampler.flush()
+            if miss_tally:
+                # fold pending per-step miss scalars to ONE host float per
+                # view: between probes (prob_freq can be 500+ steps) the
+                # tally otherwise holds one live device buffer per step,
+                # and live-buffer pressure is the leading suspect for the
+                # round-4 axon-tunnel INVALID_ARGUMENT poisons
+                folded = jax.device_get({k: list(vs)
+                                         for k, vs in miss_tally.items()})
+                miss_tally = {k: [np.float32(np.sum(vs))]
+                              for k, vs in folded.items()}
             means = vis.print_losses(step_i)
             history["loss"].append((step_i, means.get("loss_total", 0.0)))
         if t.test_freq > 0 and step_i % t.test_freq == 0 and test_items:

@@ -81,8 +81,14 @@ def render_full_frame(params, st, grid, cfg: PointNeRFConfig, item: Dict,
 
     def _flush():
         if len(fetched) < len(pending):
-            batch_vals = [vals for _, _, vals in pending[len(fetched):]]
+            lo = len(fetched)
+            batch_vals = [vals for _, _, vals in pending[lo:]]
             fetched.extend(jax.device_get(batch_vals))
+            # drop the device references NOW (advisor r4): without this the
+            # bounded flush only bounds the transfer-call size — every
+            # chunk's device buffers stay alive until the function returns
+            for i in range(lo, len(pending)):
+                pending[i] = (pending[i][0], pending[i][1], None)
 
     for s in range(0, total, chunk):
         e = min(s + chunk, total)

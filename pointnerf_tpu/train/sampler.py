@@ -80,6 +80,11 @@ class ErrorMapSampler:
             return
         self._pending.append((int(view), np.asarray(pixel_idx, np.int64),
                               per_ray_err))
+        # backstop: never hold more than 64 live device arrays even if the
+        # driver's log cadence is long (live-buffer pressure on the axon
+        # tunnel is the round-4 INVALID_ARGUMENT suspect class)
+        if len(self._pending) >= 64:
+            self.flush()
 
     def flush(self):
         """Materialize pending errors (one stacked transfer) and EMA them

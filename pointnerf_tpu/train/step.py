@@ -143,13 +143,20 @@ def eval_step(params, st: PointCloudStatic, grid: PointGrid, batch: RayBatch,
 
 
 def _row_major(a):
-    """Relayout a committed array to row-major device layout.
+    """Relayout an array to row-major device layout if it is not already.
 
-    The eager grid build materializes the prebuilt neighbor tables
-    column-major (XLA propagates the build-side transpose into the output
-    layout); left that way, EVERY train step pays a full-table relayout
-    copy (~1.6 ms at the lego budget). Pin them once here, on point-set
-    change."""
+    Since the round-5 grid-build fix (ops/grid.py: the coordinate-major
+    flattening is a lane concat, not a transpose) the tables come out
+    row-major naturally and this is a no-op guard. When it does fire, the
+    relayout is a jitted identity with an explicit output Format — NOT a
+    `jax.device_put(a, Format(...))`: on the axon backend a fresh
+    explicit-layout device_put fed to an already-cached executable fails
+    the next execution with an async INVALID_ARGUMENT (the round-4/5
+    crash class — bisect: runs/repro_e4 vs repro_e5; a committed pin also
+    breaks mixed-placement jits on the dryrun parity path)."""
+    import os
+    if os.environ.get("POINTNERF_NO_ROWMAJOR", "") not in ("", "0"):
+        return a
     try:
         from jax.experimental.layout import Format, Layout
         mtm = tuple(range(a.ndim))
@@ -159,8 +166,8 @@ def _row_major(a):
             # keeps its placement freedom (the dryrun parity path renders
             # a single-device reference next to mesh-replicated params)
             return a
-        return jax.device_put(a, Format(Layout(major_to_minor=mtm),
-                                        a.sharding))
+        fmt = Format(Layout(major_to_minor=mtm), a.sharding)
+        return jax.jit(lambda x: x, out_shardings=fmt)(a)
     except Exception:  # pragma: no cover — layout API unavailable
         return a
 
@@ -169,17 +176,31 @@ def refresh_grid(pc: PointCloud, st: PointCloudStatic,
                  cfg: PointNeRFConfig) -> PointGrid:
     """Rebuild the occupancy grid after a point-set change (prune/grow).
     The reference rebuilds this every iteration (query_grid_point_index
-    :626); positions only change on prune/grow here, so callers cache it."""
+    :626); positions only change on prune/grow here, so callers cache it.
+
+    Truncation guard (round-4 finding: a silently truncated neighbor table
+    left one side of the scene with NO neighbors and capped quality-scale
+    PSNR): if the TRUE dilated-occupied cell count exceeds the table
+    envelope, the grid is REBUILT with max_d auto-sized to 1.25x the true
+    count — never silently truncated. Downstream jits key on the table
+    shapes, so a resize retraces once; the 25% headroom keeps subsequent
+    grows inside the same envelope. The reference's analogous cap (max_o,
+    query_point_indices_worldcoords.py:290-299) silently drops cells."""
+    import dataclasses as _dc
     grid = build_grid(pc.xyz, st.num_active, cfg.query)
+    nd = int(grid.num_dil)
+    caps = [grid.occ_vids.shape[0]] if grid.occ_vids is not None else []
+    if grid.nbr_pid is not None:
+        caps.append(grid.nbr_pid.shape[0])
+    if caps and nd > min(caps):
+        new_max_d = -(-int(nd * 1.25) // 4096) * 4096
+        print(f"[grid] {nd} dilated-occupied cells exceed the table "
+              f"envelope {min(caps)}; rebuilding with max_d={new_max_d} "
+              f"(auto-sized — silent truncation would leave "
+              f"{nd - min(caps)} cells with no neighbor-table row)")
+        q = _dc.replace(cfg.query, max_d=new_max_d)
+        grid = build_grid(pc.xyz, st.num_active, q)
     if grid.nbr_xyz is not None:
         grid = grid._replace(nbr_xyz=_row_major(grid.nbr_xyz),
                              nbr_pid=_row_major(grid.nbr_pid))
-    nd = int(grid.num_dil)
-    cap = cfg.query.max_d or 0
-    if cap and nd > cap:
-        print(f"[grid] WARNING: {nd} dilated-occupied cells exceed "
-              f"max_d={cap}; {nd - cap} cells have NO neighbor-table row "
-              f"(points there silently find no neighbors) — raise "
-              f"QueryConfig.max_d (round-4 finding: this truncation capped "
-              f"quality-scale PSNR)")
     return grid

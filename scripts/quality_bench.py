@@ -268,6 +268,7 @@ def main():
                       "split_iter": args.split_iter,
                       "nerf_importance": args.nerf_importance,
                       "nerf_create_points": bool(args.nerf_create_points),
+                      "prob_freq": args.prob_freq,
                       "drop_prims": args.drop_prims}}
     path = f"QUALITY_{args.scene}{suffix}.json"
     with open(path, "w") as f:
