@@ -724,6 +724,116 @@ def make_sharded_eval_step(cfg: PointNeRFConfig, mesh: Mesh,
     return step
 
 
+def make_sharded_neural2d_step(cfg: PointNeRFConfig, mesh: Mesh, head,
+                               patch: int):
+    """2D neural-render head training on the (dp, mp) mesh (CNN recon path).
+
+    Mesh analog of the reference's DDP-wrapped head training
+    (train_ddp.py:747-804: each rank renders its own feature patch and runs
+    its replicated head copy): each dp row owns ONE whole patch^2 feature
+    patch (the CNN must see the full patch to convolve), mp shards the
+    points. Per-device rendering covers patch^2/mp rays; the head input is
+    assembled with a tiled `all_gather` over mp whose transpose hands each
+    point shard exactly its own ray block's cotangent (summed over the mp
+    redundant head/loss evaluations — hence the same pmean normalizations
+    as make_sharded_train_step: the mp-fold cotangent redundancy cancels
+    against the mp-fold pmean).
+
+    head params are replicated; optimizer = train/neural2d
+    make_neural2d_optimizer (per-group Adam, labels by top-level key)."""
+    from ..train.neural2d import Neural2DState, make_neural2d_optimizer
+    dp, mp = mesh.shape["dp"], mesh.shape["mp"]
+    tx = make_neural2d_optimizer(cfg)
+    C = cfg.agg.shading_color_channel_num
+
+    def device_grads(params, scene: ShardedScene, batch: RayBatch,
+                     gt_rgb, key):
+        grid = _local_grid(scene)
+
+        def local_loss(p):
+            pc_local = freeze_points(_squeeze0(p["points"]), cfg.points)
+            out, _ = _render_local(p["mlp"], pc_local, grid,
+                                   scene.num_active[0], scene.Rw2c, batch,
+                                   cfg, key, train=True, mp=mp)
+            full = jax.lax.all_gather(out.coarse_raycolor, "mp",
+                                      axis=0, tiled=True)     # [patch^2, C]
+            feat_img = full.reshape(1, patch, patch, C)
+            rgb = head.apply({"params": p["head"]}, feat_img)[0]
+            loss = jnp.mean((rgb - gt_rgb[0]) ** 2)
+            return loss, {"loss_total": loss}
+
+        (loss, items), grads = jax.value_and_grad(
+            local_loss, has_aux=True)(params)
+        # Normalization mirrors make_sharded_train_step.device_grads: the
+        # all_gather transpose sums the mp shards' (identical) cotangents,
+        # so pmean over mp recovers the true per-patch gradient; pmean over
+        # dp averages over the dp distinct patches. Direct head grads are
+        # identical on every shard, so the same pmean is a no-op for them.
+        g_mlp = jax.tree.map(lambda g: jax.lax.pmean(g, ("dp", "mp")),
+                             grads["mlp"])
+        g_head = jax.tree.map(lambda g: jax.lax.pmean(g, ("dp", "mp")),
+                              grads["head"])
+        g_pts = jax.tree.map(lambda g: jax.lax.pmean(g, "dp") / mp,
+                             grads["points"])
+        loss = jax.lax.pmean(loss, ("dp", "mp"))
+        items = jax.tree.map(lambda v: jax.lax.pmean(v, ("dp", "mp")), items)
+        return {"mlp": g_mlp, "points": g_pts, "head": g_head}, loss, items
+
+    grads_sm = jax.shard_map(
+        device_grads, mesh=mesh,
+        in_specs=({"mlp": P(), "points": P("mp"), "head": P()},
+                  scene_specs(cfg.query.prebuild_neighbors),
+                  RayBatch(campos=P(), camrotc2w=P(), raydir=P("dp"),
+                           pixel_idx=P("dp"), near=P(), far=P(),
+                           gt_image=P("dp")),
+                  P("dp"), P()),
+        out_specs=({"mlp": P(), "points": P("mp"), "head": P()}, P(), P()),
+        check_vma=False)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state, scene: ShardedScene, batch: RayBatch, gt_rgb):
+        key, sub = jax.random.split(state.key)
+        if batch.gt_image is None:
+            batch = batch._replace(
+                gt_image=jnp.zeros((batch.raydir.shape[0], 3), jnp.float32))
+        grads, loss, items = grads_sm(state.params, scene, batch, gt_rgb,
+                                      sub)
+        grads["points"] = apply_grad_flags(grads["points"], cfg.points)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        items["psnr"] = mse2psnr(items["loss_total"])
+        return Neural2DState(params=new_params, opt_state=new_opt,
+                             step=state.step + 1, key=key), items
+
+    return step
+
+
+def create_sharded_neural2d_state(key, agg_params, pc: PointCloud,
+                                  head_params, scene: ShardedScene,
+                                  cfg: PointNeRFConfig, mesh: Mesh):
+    """Mesh-placed Neural2DState: points mp-sharded, mlp + head replicated,
+    optimizer initialized under jit so Adam moments inherit shardings."""
+    from ..train.neural2d import Neural2DState, make_neural2d_optimizer
+
+    def put(tree, spec_tree):
+        return jax.tree.map(
+            lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+            tree, spec_tree)
+
+    params = {"mlp": agg_params, "points": pc, "head": head_params}
+    pspec = {"mlp": jax.tree.map(lambda _: P(), agg_params),
+             "points": jax.tree.map(lambda _: P("mp"), pc),
+             "head": jax.tree.map(lambda _: P(), head_params)}
+    params = put(params, pspec)
+    scene2 = put(scene, scene_specs(scene.vox_dslot is not None))
+    tx = make_neural2d_optimizer(cfg)
+    opt_state = jax.jit(tx.init)(params)
+    rep = NamedSharding(mesh, P())
+    return Neural2DState(params=params, opt_state=opt_state,
+                         step=jax.device_put(jnp.asarray(0, jnp.int32), rep),
+                         key=jax.device_put(key, rep)), scene2
+
+
 def _place_opt_state(opt_state, mesh: Mesh, cap: int):
     """Re-place optimizer state on the mesh: per-point moment leaves (leading
     [mp, cap] axes) sharded over mp, everything else replicated. Host-side
