@@ -419,8 +419,22 @@ def apply_bench_env_knobs(cfg: PointNeRFConfig) -> PointNeRFConfig:
       BENCH_GATHER_BWD=scatter|sort
       BENCH_DECODE_CAPACITY=<float>
       BENCH_TRACK_HITS=0|1
+      BENCH_FUSED_DECODE=0|1  BENCH_FUSED_TILE=<rows> BENCH_FUSED_TILE_BWD=<rows>
+        (the r2 Pallas decode was only ever measured pre-compaction; these
+         let the A/B rerun at the compacted M = C*K shapes — VERDICT r4 #4)
     """
     import os
+    a = {}
+    v = os.environ.get("BENCH_FUSED_DECODE")
+    if v:
+        a["fused_decode"] = v not in ("0", "false")
+    for env, field in (("BENCH_FUSED_TILE", "fused_tile"),
+                       ("BENCH_FUSED_TILE_BWD", "fused_tile_bwd")):
+        v = os.environ.get(env)
+        if v:
+            a[field] = int(v)
+    if a:
+        cfg = cfg.replace(agg=dataclasses.replace(cfg.agg, **a))
     q = {}
     for env, field in (("BENCH_KNN_SELECT", "knn_select"),
                        ("BENCH_SLOT_SELECT", "slot_select"),

@@ -22,7 +22,7 @@ for s in "${stages[@]}"; do case "$s" in
     # VERDICT r4 #3: the 17.65 cluster number of record trained under the
     # max_d truncation — full-budget rerun under correct queries, plateau
     # + wall-clock milestones (curve was fully plateaued by 12k in r2)
-    run python scripts/quality_bench.py cluster --steps 12000 --tag full_r5 \
+    run python scripts/quality_bench.py cluster --steps 10000 --tag full_r5 \
         --test-views 8
     ;;
   ablate)
@@ -41,7 +41,7 @@ for s in "${stages[@]}"; do case "$s" in
     # post-split at step 800 — this stage doubles as crash-repro-B
     # validation); base_fixed plateaued at 22.39 @1500, so the bar is:
     # do the levers beat the no-lever curve at matched steps?
-    run python scripts/quality_bench.py thicket --steps 12000 --tag levers_r5 \
+    run python scripts/quality_bench.py thicket --steps 8000 --tag levers_r5 \
         --importance 0.5 --hit-boost 4.0 --split-iter 800 --split-top 768
     ;;
   hole3)
