@@ -155,6 +155,9 @@ def main():
                     help="override point_features_dim (capacity sweep; "
                          "0 keeps the default)")
     ap.add_argument("--run-dir", default=None)
+    ap.add_argument("--resume", action="store_true",
+                    help="resume from the run dir's latest checkpoint "
+                         "(extends a finished run: pass a larger --steps)")
     ap.add_argument("--tag", default="",
                     help="suffix for QUALITY_<scene>_<tag>.json and the "
                          "default run dir (keeps lever A/Bs separate)")
@@ -255,7 +258,7 @@ def main():
     state, st, hist = train_scene(
         cfg, (xyz, color, normals), train_item, test_items, probe_items, wh,
         run_dir=run_dir, max_steps=args.steps, target_psnr=args.target,
-        sampler=sampler)
+        resume=args.resume, sampler=sampler)
 
     out = {"scene": args.scene, "steps": args.steps, "n_points": int(xyz.shape[0]),
            "views": args.views, "wh": args.wh,
