@@ -254,8 +254,13 @@ def train_scene(cfg: PointNeRFConfig,
             _sync_maint("post-probe", state, grid)
             state, st, added = apply_grow(state, st, cand, cfg)
             _sync_maint("post-grow", state, st)
-            grid = refresh_grid(state.params["points"], st, cfg)
-            _sync_maint("post-refresh", grid)
+            if added:
+                # +0 probes leave the point set untouched — the grid is
+                # identical, so rebuilding ~1 GB of tables is pure waste
+                # (and the rebuild is where the flaky-tunnel INVALID_ARGUMENT
+                # incidents concentrate; PERF.md round-5 log)
+                grid = refresh_grid(state.params["points"], st, cfg)
+                _sync_maint("post-refresh", grid)
             print(f"[grow] step {step_i}: +{added} points "
                   f"(total {int(st.num_active)})")
         # ---- gradient-driven splitting (densification; grow.py) ---------
