@@ -62,23 +62,33 @@ def main():
     else:
         print("(missing)")
 
-    print("\n## Per-lever ablation (cluster, 4000 steps, 8 held-out views)")
-    arms = [("base", "QUALITY_cluster_ab_base.json"),
-            ("importance 0.5", "QUALITY_cluster_ab_imp.json"),
+    print("\n## Per-lever ablation (cluster, matched steps, 8 held-out "
+          "views; base = the no-lever full_r5 curve — identical config)")
+    arms = [("importance 0.5", "QUALITY_cluster_ab_imp.json"),
             ("hit-boost 4.0", "QUALITY_cluster_ab_hit.json"),
             ("split 600/512", "QUALITY_cluster_ab_split.json")]
-    ds = {n: load(p) for n, p in arms}
-    base = best(ds.get("base"))
-    print("| lever | best PSNR | delta vs base | best SSIM |")
-    print("|---|---:|---:|---:|")
-    for n, _ in arms:
-        d = ds[n]
-        b = best(d)
-        ss = max((e["ssim"] for e in d["eval"]), default=float("nan")) \
-            if d else float("nan")
-        delta = "—" if n == "base" or b != b or base != base \
-            else f"{b - base:+.2f}"
-        print(f"| {n} | {b:.2f} | {delta} | {ss:.4f} |")
+    full = load("QUALITY_cluster_full_r5.json")
+    print("| lever | last eval (step) | PSNR | base @ matched step | delta |")
+    print("|---|---:|---:|---:|---:|")
+    for n, p in arms:
+        d = load(p)
+        if not d or not d.get("eval"):
+            print(f"| {n} | — | — | — | — |")
+            continue
+        e = d["eval"][-1]
+        # base: linear interpolation of the full_r5 curve at e['step']
+        fe = full["eval"] if full else []
+        lo = [x for x in fe if x["step"] <= e["step"]]
+        hi = [x for x in fe if x["step"] >= e["step"]]
+        if lo and hi:
+            a, b2 = lo[-1], hi[0]
+            t = (0.0 if b2["step"] == a["step"] else
+                 (e["step"] - a["step"]) / (b2["step"] - a["step"]))
+            bp = a["psnr"] + t * (b2["psnr"] - a["psnr"])
+            print(f"| {n} | {e['step']} | {e['psnr']:.2f} | {bp:.2f} | "
+                  f"{e['psnr'] - bp:+.2f} |")
+        else:
+            print(f"| {n} | {e['step']} | {e['psnr']:.2f} | — | — |")
 
     print("\n## Thicket: all levers vs base (r4 base_fixed: 22.39 @ 1500)")
     d = load("QUALITY_thicket_levers_r5.json")
@@ -91,12 +101,12 @@ def main():
     else:
         print("(missing)")
 
-    print("\n## Coverage-hole 3-arm A/B (cluster minus prims 1,4; 5000 "
+    print("\n## Coverage-hole 3-arm A/B (cluster minus prims 1,4; 4000 "
           "steps @400^2, probes ON)")
     arms3 = [("points-only", "QUALITY_cluster_hole_pts_r5.json"),
              ("+ hybrid (nerf_importance=8)", "QUALITY_cluster_hole_nerf_r5.json"),
              ("+ hybrid + nerf_create_points", "QUALITY_cluster_hole_create_r5.json")]
-    steps = [1000, 2000, 3000, 4000, 5000]
+    steps = [1000, 2000, 3000, 4000]
     print("| arm | " + " | ".join(f"@{s}" for s in steps) + " | best |")
     print("|---|" + "---:|" * (len(steps) + 1))
     for n, p in arms3:
